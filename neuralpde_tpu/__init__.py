@@ -1,0 +1,38 @@
+"""neuralpde_tpu — TPU-native physics-informed neural network solver suite.
+
+A from-scratch JAX/XLA/Pallas/pjit re-design of the capabilities of
+SciML/NeuralPDE.jl (reference exports: src/NeuralPDE.jl:90-116).
+"""
+
+from .config import default_float, enable_x64
+from .logging_utils import LogOptions, TensorBoardLogger, logscalar, logvector
+from .symbolic.expr import (
+    DepVar, Deriv, Differential, Eq, Expr, Integral, IntegralExpr, Num, Param,
+    Sym, abs_, acos, asin, atan, cos, cosh, depvars, erf, exp, expand_derivatives,
+    log, parameters, pi, sigmoid, sin, sinh, sqrt, substitute, symbols,
+    symbolic_diff, tan, tanh,
+)
+from .symbolic.system import Domain, Interval, PDESystem, in_domain, infimum, supremum
+from .nn.core import (
+    Chain, Dense, Module, SkipConnection, glorot_normal, glorot_uniform, mlp,
+)
+from .ops.derivatives import DerivativeEngine, jvp_derivative, numeric_derivative
+from .strategies import (
+    GridTraining, QuadratureTraining, QuasiRandomTraining, StochasticTraining,
+    TrainingStrategy, WeightedIntervalTraining, generate_training_sets, get_bounds,
+)
+from .adaptive import (
+    AbstractAdaptiveLoss, GradientScaleAdaptiveLoss, MiniMaxAdaptiveLoss,
+    NonAdaptiveLoss, ReLoBRaLoAdaptiveLoss, SoftAdaptAdaptiveLoss,
+)
+from .compile.discretize import (
+    BayesianPINN, PhysicsInformedNN, Phi, PINNLossFunctions, PINNRepresentation,
+    TrainingProblem, discretize, symbolic_discretize,
+)
+from .compile.lower import (
+    build_residual_function, get_argument, get_integration_variables, get_variables,
+)
+from .train import SolveResult, solve
+from .utils.pytree import vector_to_parameters, parameters_to_vector
+
+__version__ = "0.1.0"

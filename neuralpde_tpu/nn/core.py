@@ -1,0 +1,180 @@
+"""Minimal pytree neural-network library (Lux-equivalent substrate).
+
+Replaces the reference's Lux/LuxCore/WeightInitializers dependency (reference:
+src/NeuralPDE.jl:17-20).  Layers are immutable Python objects; parameters are
+nested dict pytrees created by ``init(key)`` and consumed by ``apply(params, x)``.
+
+Layout convention: arrays are column-major ``(features, batch)`` like the
+reference's ``dim × npoints`` coordinate matrices (reference:
+src/discretize.jl:56,147-152).  On TPU the batch axis is the XLA lane/minor
+dimension, which keeps the MXU matmuls ``W @ x`` well tiled for large batches.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..config import default_float
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Initializers (glorot_uniform matches Lux's Dense default weight init)
+# ---------------------------------------------------------------------------
+
+def glorot_uniform(key, shape, dtype=None):
+    dtype = dtype or default_float()
+    fan_out, fan_in = shape[0], shape[1]
+    limit = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, minval=-limit, maxval=limit)
+
+
+def glorot_normal(key, shape, dtype=None):
+    dtype = dtype or default_float()
+    fan_out, fan_in = shape[0], shape[1]
+    std = math.sqrt(2.0 / (fan_in + fan_out))
+    return std * jax.random.normal(key, shape, dtype)
+
+
+def zeros_init(key, shape, dtype=None):
+    del key
+    return jnp.zeros(shape, dtype or default_float())
+
+
+# ---------------------------------------------------------------------------
+# Activations (names mirror the Lux / NNlib set used by the reference docs)
+# ---------------------------------------------------------------------------
+
+sigmoid = jax.nn.sigmoid
+tanh = jnp.tanh
+relu = jax.nn.relu
+gelu = jax.nn.gelu
+swish = jax.nn.silu
+softplus = jax.nn.softplus
+sin = jnp.sin
+
+
+def identity(x):
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Modules
+# ---------------------------------------------------------------------------
+
+class Module:
+    """Base class: stateless; params live in a separate pytree."""
+
+    def init(self, key) -> dict:
+        raise NotImplementedError
+
+    def apply(self, params, x: Array) -> Array:
+        raise NotImplementedError
+
+    def __call__(self, params, x: Array) -> Array:
+        return self.apply(params, x)
+
+    @property
+    def in_dim(self) -> int:
+        raise NotImplementedError
+
+    @property
+    def out_dim(self) -> int:
+        raise NotImplementedError
+
+
+class Dense(Module):
+    """`y = act(W @ x + b)` with x shaped (in_dim, N)."""
+
+    def __init__(self, in_dim: int, out_dim: int, activation: Callable | None = None,
+                 *, use_bias: bool = True, init_weight=glorot_uniform,
+                 init_bias=zeros_init):
+        self._in = in_dim
+        self._out = out_dim
+        self.activation = activation or identity
+        self.use_bias = use_bias
+        self.init_weight = init_weight
+        self.init_bias = init_bias
+
+    @property
+    def in_dim(self):
+        return self._in
+
+    @property
+    def out_dim(self):
+        return self._out
+
+    def init(self, key):
+        kw, kb = jax.random.split(key)
+        params = {"weight": self.init_weight(kw, (self._out, self._in))}
+        if self.use_bias:
+            params["bias"] = self.init_bias(kb, (self._out, 1))
+        return params
+
+    def apply(self, params, x):
+        y = jnp.dot(params["weight"], x, preferred_element_type=x.dtype)
+        if self.use_bias:
+            y = y + params["bias"]
+        return self.activation(y)
+
+
+class Chain(Module):
+    """Sequential container; params = {"layer_0": ..., "layer_1": ...}."""
+
+    def __init__(self, *layers: Module):
+        self.layers = tuple(layers)
+
+    @property
+    def in_dim(self):
+        return self.layers[0].in_dim
+
+    @property
+    def out_dim(self):
+        return self.layers[-1].out_dim
+
+    def init(self, key):
+        keys = jax.random.split(key, len(self.layers))
+        return {f"layer_{i}": l.init(k) for i, (l, k) in enumerate(zip(self.layers, keys))}
+
+    def apply(self, params, x):
+        for i, layer in enumerate(self.layers):
+            x = layer.apply(params[f"layer_{i}"], x)
+        return x
+
+
+class SkipConnection(Module):
+    """`y = merge(layer(x), x)`; used by the DGM block chaining
+    (reference: src/dgm.jl:50-62)."""
+
+    def __init__(self, layer: Module, merge: Callable[[Array, Array], Array]):
+        self.layer = layer
+        self.merge = merge
+
+    @property
+    def in_dim(self):
+        return self.layer.in_dim
+
+    @property
+    def out_dim(self):
+        return self.layer.out_dim
+
+    def init(self, key):
+        return self.layer.init(key)
+
+    def apply(self, params, x):
+        return self.merge(self.layer.apply(params, x), x)
+
+
+def mlp(sizes: Sequence[int], activation: Callable = tanh,
+        out_activation: Callable | None = None) -> Chain:
+    """Convenience constructor: mlp([2, 16, 16, 1]) -> 3-layer Chain."""
+    layers = []
+    for i in range(len(sizes) - 1):
+        act = activation if i < len(sizes) - 2 else out_activation
+        layers.append(Dense(sizes[i], sizes[i + 1], act))
+    return Chain(*layers)

@@ -1,0 +1,89 @@
+"""Static-shape quadrature rules (Integrals.jl/Cubature replacement).
+
+The reference uses h-adaptive Cubature (CubatureJLh / QuadGKJL) for both
+QuadratureTraining and integro-differential terms (reference:
+src/training_strategies.jl:406-436, src/discretize.jl:332-396).  Runtime
+h-adaptivity implies dynamic shapes, which is hostile to XLA, so the
+TPU-native design uses composite fixed-order Gauss-Legendre tensor rules:
+`panels**dim` sub-boxes, each integrated with an `order`-point GL rule per
+axis.  Accuracy is controlled statically by (order, panels); the
+IntegroDiff test suite validates parity with the reference tolerances.
+"""
+
+from __future__ import annotations
+
+import itertools
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+@lru_cache(maxsize=None)
+def gauss_legendre(order: int):
+    """Nodes/weights on [-1, 1] (host-side static)."""
+    x, w = np.polynomial.legendre.leggauss(order)
+    return x, w
+
+
+@lru_cache(maxsize=None)
+def composite_gl_unit(order: int, panels: int):
+    """Composite GL rule on [0, 1]: (nodes, weights), each shape (order*panels,)."""
+    x, w = gauss_legendre(order)
+    h = 1.0 / panels
+    nodes = np.concatenate([(x + 1.0) / 2.0 * h + i * h for i in range(panels)])
+    weights = np.concatenate([w / 2.0 * h for _ in range(panels)])
+    return nodes, weights
+
+
+def tensor_rule_unit(dim: int, order: int, panels: int = 1):
+    """Tensor-product rule on the unit cube [0,1]^dim.
+
+    Returns (nodes (dim, Q), weights (Q,)) as static numpy arrays.
+    """
+    n1, w1 = composite_gl_unit(order, panels)
+    grids = list(itertools.product(*[range(len(n1))] * dim))
+    idx = np.array(grids, dtype=np.int64).T  # (dim, Q)
+    nodes = n1[idx]
+    weights = np.prod(w1[idx], axis=0)
+    return nodes, weights
+
+
+def tensor_rule_box(lb, ub, order: int, panels: int = 1):
+    """Tensor rule on the box [lb, ub] (static numpy bounds)."""
+    lb = np.asarray(lb, dtype=np.float64)
+    ub = np.asarray(ub, dtype=np.float64)
+    nodes_u, weights_u = tensor_rule_unit(len(lb), order, panels)
+    scale = ub - lb
+    nodes = nodes_u * scale[:, None] + lb[:, None]
+    weights = weights_u * np.prod(scale)
+    return nodes, weights
+
+
+def integrate_box(f, lb, ub, order: int = 10, panels: int = 1, dtype=None):
+    """∫_[lb,ub] f(x) dx with f: (dim, Q) -> (out, Q). Static bounds."""
+    nodes, weights = tensor_rule_box(lb, ub, order, panels)
+    x = jnp.asarray(nodes, dtype=dtype)
+    w = jnp.asarray(weights, dtype=dtype)
+    return jnp.sum(f(x) * w[None, :], axis=-1)
+
+
+def integrate_parametric_1d(f, lb: Array, ub: Array, order: int = 10, panels: int = 1):
+    """Batched 1-D integrals with per-column bounds.
+
+    ``lb``/``ub`` have shape (N,); ``f(nodes)`` maps (N, Q) node matrix ->
+    (out, N, Q) integrand values.  Returns (out, N).  Used for
+    integro-differential terms with parametric limits (reference:
+    src/discretize.jl:332-396 evaluates these per-column in a host loop;
+    here it is one batched XLA computation).
+    """
+    nu, wu = composite_gl_unit(order, panels)
+    nu = jnp.asarray(nu, dtype=lb.dtype)
+    wu = jnp.asarray(wu, dtype=lb.dtype)
+    scale = (ub - lb)  # (N,)
+    nodes = lb[:, None] + scale[:, None] * nu[None, :]  # (N, Q)
+    vals = f(nodes)  # (out, N, Q)
+    return jnp.sum(vals * wu[None, None, :], axis=-1) * scale[None, :]

@@ -1,0 +1,251 @@
+"""Training strategies (reference: src/training_strategies.jl).
+
+Each strategy pairs a collocation-point source with a loss reduction and
+produces per-equation scalar objectives ``loss(theta, key) -> scalar``.
+Deterministic strategies ignore ``key``; stochastic ones fold it, so a fresh
+sample per optimizer step traces into the jitted train step (no host RNG, no
+retracing) — the TPU-native replacement for the reference's per-call
+`rand`/QuasiMonteCarlo sampling (src/training_strategies.jl:197-200,331-343).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .ops import sampling
+from .ops.quadrature import tensor_rule_box
+from .symbolic.expr import Sym
+from .symbolic.system import infimum, supremum
+
+
+class TrainingStrategy:
+    pass
+
+
+def julia_range(a: float, b: float, dx: float) -> np.ndarray:
+    """Julia `a:dx:b` — inclusive of b when it lands on the grid."""
+    n = int(np.floor((b - a) / dx + 1e-10)) + 1
+    return a + dx * np.arange(n)
+
+
+def generate_training_sets(domains, dx, eq_args_list, dtype):
+    """Cartesian-product grids per equation (reference: src/discretize.jl:183-239).
+
+    ``eq_args_list``: per equation, the get_argument layout (Syms and numbers).
+    Returns a list of (rows, N) coordinate matrices.
+    """
+    dxs = dx if isinstance(dx, (list, tuple)) else [dx] * len(domains)
+    spans = {d.variables.name: julia_range(infimum(d.domain), supremum(d.domain), h)
+             for d, h in zip(domains, dxs)}
+    out = []
+    for args in eq_args_list:
+        axes = [spans[a.name] if isinstance(a, Sym) else np.array([float(a)])
+                for a in args]
+        grid = np.meshgrid(*axes, indexing="ij") if axes else [np.zeros((1,))]
+        cord = np.stack([g.reshape(-1) for g in grid], axis=0)
+        out.append(jnp.asarray(cord, dtype=dtype))
+    return out
+
+
+def get_bounds(domains, eq_args_list, points: int, dtype):
+    """Per-equation (lb, ub) arrays for sampling strategies, with the
+    reference's 1/points inset (src/discretize.jl:297-322)."""
+    dx = 1.0 / points
+    lo = {d.variables.name: infimum(d.domain) + dx for d in domains}
+    hi = {d.variables.name: supremum(d.domain) - dx for d in domains}
+    bounds = []
+    for args in eq_args_list:
+        lb = np.array([lo[a.name] if isinstance(a, Sym) else float(a) for a in args])
+        ub = np.array([hi[a.name] if isinstance(a, Sym) else float(a) for a in args])
+        bounds.append((jnp.asarray(lb, dtype=dtype), jnp.asarray(ub, dtype=dtype)))
+    return bounds
+
+
+class GridTraining(TrainingStrategy):
+    """Cartesian grid with spacing `dx` (reference: src/training_strategies.jl:1-15)."""
+
+    def __init__(self, dx):
+        self.dx = dx
+
+    def build(self, pinnrep, datafree_pde, datafree_bc):
+        dtype = pinnrep.dtype
+        pde_sets = generate_training_sets(
+            pinnrep.domains, self.dx, pinnrep.pde_args, dtype)
+        bc_sets = generate_training_sets(
+            pinnrep.domains, self.dx, pinnrep.bc_args, dtype)
+        pde = [_mean_sq_loss(f, s) for f, s in zip(datafree_pde, pde_sets)]
+        bc = [_mean_sq_loss(f, s) for f, s in zip(datafree_bc, bc_sets)]
+        return pde, bc
+
+
+def _mean_sq_loss(residual, train_set):
+    def loss(theta, key=None):
+        del key
+        return jnp.mean(residual(train_set, theta) ** 2)
+
+    return loss
+
+
+class StochasticTraining(TrainingStrategy):
+    """Uniform resample each step (reference: src/training_strategies.jl:190-237)."""
+
+    def __init__(self, points: int, bcs_points: int | None = None):
+        self.points = points
+        self.bcs_points = bcs_points if bcs_points is not None else points
+
+    def build(self, pinnrep, datafree_pde, datafree_bc):
+        dtype = pinnrep.dtype
+        pde_bounds = get_bounds(pinnrep.domains, pinnrep.pde_args, self.points, dtype)
+        bc_bounds = get_bounds(pinnrep.domains, pinnrep.bc_args, self.points, dtype)
+
+        def make(residual, bound, n):
+            lb, ub = bound
+
+            def loss(theta, key):
+                pts = sampling.uniform_random(key, n, lb, ub, dtype=dtype)
+                return jnp.mean(residual(pts, theta) ** 2)
+
+            return loss
+
+        pde = [make(f, b, self.points) for f, b in zip(datafree_pde, pde_bounds)]
+        bc = [make(f, b, self.bcs_points) for f, b in zip(datafree_bc, bc_bounds)]
+        return pde, bc
+
+
+class QuasiRandomTraining(TrainingStrategy):
+    """Low-discrepancy sampling (reference: src/training_strategies.jl:266-344).
+
+    sampling_alg ∈ {"lhs", "sobol"} (LatinHypercubeSample is the reference
+    default).  With resampling=True a fresh randomized sample is drawn in-graph
+    each step; otherwise `minibatch` precomputed designs are cycled randomly.
+    """
+
+    def __init__(self, points: int, bcs_points: int | None = None,
+                 sampling_alg: str = "lhs", resampling: bool = True,
+                 minibatch: int = 0):
+        if sampling_alg not in ("lhs", "sobol"):
+            raise ValueError("sampling_alg must be 'lhs' or 'sobol'")
+        self.points = points
+        self.bcs_points = bcs_points if bcs_points is not None else points
+        self.sampling_alg = sampling_alg
+        self.resampling = resampling
+        self.minibatch = minibatch
+
+    def build(self, pinnrep, datafree_pde, datafree_bc):
+        dtype = pinnrep.dtype
+        pde_bounds = get_bounds(pinnrep.domains, pinnrep.pde_args, self.points, dtype)
+        bc_bounds = get_bounds(pinnrep.domains, pinnrep.bc_args, self.points, dtype)
+
+        def sample_fn(n, lb, ub):
+            if self.sampling_alg == "sobol":
+                base = sampling.sobol_bits(n, lb.shape[0])
+
+                def s(key):
+                    return sampling.sobol_sample(base, lb, ub, key=key, dtype=dtype)
+            else:
+                def s(key):
+                    return sampling.latin_hypercube(key, n, lb, ub, dtype=dtype)
+            return s
+
+        def make(residual, bound, n):
+            lb, ub = bound
+            s = sample_fn(n, lb, ub)
+            if self.resampling:
+                def loss(theta, key):
+                    pts = jax.lax.stop_gradient(s(key))
+                    return jnp.mean(residual(pts, theta) ** 2)
+                return loss
+            if self.minibatch <= 0:
+                raise ValueError("minibatch must be > 0 when resampling=False")
+            keys = jax.random.split(jax.random.key(0), self.minibatch)
+            batch = jnp.stack([s(k) for k in keys])  # (minibatch, dim, n)
+
+            def loss(theta, key):
+                idx = jax.random.randint(key, (), 0, self.minibatch)
+                return jnp.mean(residual(batch[idx], theta) ** 2)
+
+            return loss
+
+        pde = [make(f, b, self.points) for f, b in zip(datafree_pde, pde_bounds)]
+        bc = [make(f, b, self.bcs_points) for f, b in zip(datafree_bc, bc_bounds)]
+        return pde, bc
+
+
+class QuadratureTraining(TrainingStrategy):
+    """Loss = (1/|Ω|)·∫_Ω ‖residual‖² via a static composite Gauss-Legendre
+    tensor rule (reference: src/training_strategies.jl:367-436 uses h-adaptive
+    CubatureJLh; runtime adaptivity is hostile to XLA's static-shape regime, so
+    accuracy is controlled by (order, panels) instead — the documented
+    TPU-native deviation).
+    """
+
+    def __init__(self, order: int = 8, panels: int = 4, reltol=1e-6, abstol=1e-3,
+                 maxiters=1000, batch=0):
+        # reltol/abstol/maxiters/batch accepted for API parity; unused.
+        self.order = order
+        self.panels = panels
+        self.reltol = reltol
+        self.abstol = abstol
+        self.maxiters = maxiters
+        self.batch = batch
+
+    def build(self, pinnrep, datafree_pde, datafree_bc):
+        dtype = pinnrep.dtype
+        lo = {d.variables.name: infimum(d.domain) for d in pinnrep.domains}
+        hi = {d.variables.name: supremum(d.domain) for d in pinnrep.domains}
+
+        def make(residual, args):
+            syms = [a for a in args if isinstance(a, Sym)]
+            if not syms:
+                dummy = jnp.zeros((len(args), 10), dtype=dtype)
+
+                def loss(theta, key=None):
+                    del key
+                    return jnp.mean(residual(dummy, theta) ** 2)
+
+                return loss
+            lb = [lo[s.name] for s in syms]
+            ub = [hi[s.name] for s in syms]
+            nodes, weights = tensor_rule_box(lb, ub, self.order, self.panels)
+            area = float(np.prod(np.asarray(ub) - np.asarray(lb)))
+            # quadrature cord rows = symbol args only; constant args are
+            # folded into the residual at lowering time (row layout)
+            nodes = jnp.asarray(nodes, dtype=dtype)
+            weights = jnp.asarray(weights / area, dtype=dtype)
+
+            def loss(theta, key=None):
+                del key
+                return jnp.sum(residual(nodes, theta) ** 2 * weights)
+
+            return loss
+
+        pde = [make(f, a) for f, a in zip(datafree_pde, pinnrep.pde_args)]
+        bc = [make(f, a) for f, a in zip(datafree_bc, pinnrep.bc_args)]
+        return pde, bc
+
+
+class WeightedIntervalTraining(TrainingStrategy):
+    """ODE-only weighted time-segment sampling
+    (reference: src/training_strategies.jl:438-468)."""
+
+    def __init__(self, weights, points: int):
+        self.weights = np.asarray(weights, dtype=np.float64)
+        self.points = points
+
+    def sample_times(self, t0: float, t1: float, rng=None) -> np.ndarray:
+        rng = rng or np.random.default_rng(0)
+        w = self.weights / self.weights.sum()
+        n_seg = len(w)
+        diff = (t1 - t0) / n_seg
+        ts = []
+        for i, wi in enumerate(w):
+            n = int(self.points * wi)
+            ts.append(rng.random(n) * diff + t0 + i * diff)
+        return np.concatenate(ts)
+
+    def build(self, pinnrep, datafree_pde, datafree_bc):
+        raise ValueError(
+            "WeightedIntervalTraining can only be used with ODEs (NNODE)"
+        )

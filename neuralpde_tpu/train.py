@@ -1,0 +1,172 @@
+"""Training loop (Optimization.jl + OptimizationOptimisers replacement).
+
+`solve(prob, optimizer, maxiters, ...)` runs a fully jitted train step:
+value_and_grad of the weighted loss, optax update, and adaptive-loss
+reweighting under `lax.cond` — all one XLA program.  The host loop only
+handles the callback / abstol-stop protocol (reference semantics:
+src/ode_solve.jl:469-481) and logging at `log_frequency`
+(reference: src/discretize.jl:598-643).
+
+Set ``inner_steps > 1`` to scan that many optimizer steps per host round-trip
+(the TPU-throughput mode; callbacks then fire every `inner_steps` iterations).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .logging_utils import logscalar, logvector
+
+
+@dataclass
+class SolveResult:
+    """OptimizationSolution analog: `u` = trained parameters."""
+
+    u: Any
+    objective: float
+    iterations: int
+    aux: dict
+    history: list
+
+    @property
+    def params(self):
+        return self.u
+
+
+def _component_grads(loss_fns, theta, key):
+    grads = []
+    for i, f in enumerate(loss_fns):
+        k = jax.random.fold_in(key, i)
+        grads.append(jax.grad(lambda th: f(th, k))(theta))
+    return grads
+
+
+def make_step(loss_fn, optimizer, adaloss=None, pde_loss_fns=(), bc_loss_fns=()):
+    """Build the jitted train step.
+
+    carry = (theta, opt_state, ada_state, iteration); returns new carry plus
+    (loss, aux).  ``key`` is the per-run PRNG key; per-iteration keys are
+    folded in so the step retraces never.
+    """
+
+    every = getattr(adaloss, "reweight_every", 0) if adaloss is not None else 0
+    needs_grads = bool(adaloss is not None and adaloss.needs_component_grads)
+
+    def step(carry, key):
+        theta, opt_state, ada_state, it = carry
+        kstep = jax.random.fold_in(key, it)
+        lstate = {"key": kstep, "adaptive": ada_state}
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(theta, lstate)
+
+        if every and adaloss is not None:
+            def do_reweight(ada):
+                comp = None
+                if needs_grads:
+                    kg = jax.random.fold_in(kstep, 7)
+                    comp = (_component_grads(pde_loss_fns, theta, jax.random.fold_in(kg, 0)),
+                            _component_grads(bc_loss_fns, theta, jax.random.fold_in(kg, 1)))
+                return adaloss.reweight(ada, theta, aux["pde_losses"],
+                                        aux["bc_losses"], comp,
+                                        jax.random.fold_in(kstep, 11))
+
+            ada_state = jax.lax.cond((it + 1) % every == 0, do_reweight,
+                                     lambda a: a, ada_state)
+
+        updates, opt_state = optimizer.update(grads, opt_state, theta)
+        theta = optax.apply_updates(theta, updates)
+        return (theta, opt_state, ada_state, it + 1), (loss, aux)
+
+    return step
+
+
+def solve(prob, optimizer=None, maxiters: int = 1000, *,
+          callback: Callable | None = None, abstol: float | None = None,
+          key=None, inner_steps: int = 1, verbose: bool = False):
+    """Train a `TrainingProblem` (from `discretize`) or any object with
+    `.loss(theta, lstate)` and `.init_params`."""
+
+    optimizer = optimizer or optax.adam(1e-3)
+    key = key if key is not None else jax.random.key(0)
+    pinnrep = getattr(prob, "pinnrep", None)
+    adaloss = pinnrep.adaloss if pinnrep is not None else None
+    lf = pinnrep.loss_functions if pinnrep is not None else None
+    n_pde = len(lf.pde_loss_functions) if lf else 0
+    n_bc = len(lf.bc_loss_functions) if lf else 0
+    dtype = pinnrep.dtype if pinnrep is not None else jnp.float32
+
+    theta = prob.init_params
+    opt_state = optimizer.init(theta)
+    if adaloss is not None:
+        ada_state = adaloss.init_state(n_pde, n_bc, dtype)
+    else:
+        ada_state = {"pde_weights": jnp.ones((n_pde,), dtype),
+                     "bc_weights": jnp.ones((n_bc,), dtype),
+                     "additional_weights": jnp.ones((1,), dtype)}
+
+    step = make_step(prob.loss, optimizer, adaloss,
+                     lf.pde_loss_functions if lf else (),
+                     lf.bc_loss_functions if lf else ())
+
+    if inner_steps > 1:
+        def multi(carry, key):
+            def body(c, _):
+                return step(c, key)
+            carry, (losses, auxs) = jax.lax.scan(body, carry, None, length=inner_steps)
+            last_aux = jax.tree.map(lambda x: x[-1], auxs)
+            return carry, (losses[-1], last_aux)
+
+        jit_step = jax.jit(multi)
+    else:
+        jit_step = jax.jit(step)
+
+    logger = pinnrep.logger if pinnrep is not None else None
+    log_frequency = (pinnrep.log_options.log_frequency
+                     if pinnrep is not None else 50)
+
+    carry = (theta, opt_state, ada_state, jnp.asarray(0, jnp.int32))
+    history = []
+    loss_val, aux = None, {}
+    it = 0
+    while it < maxiters:
+        carry, (loss, aux) = jit_step(carry, key)
+        it += inner_steps
+        loss_val = float(loss)
+        history.append(loss_val)
+        if verbose:
+            print(f"[solve] iter {it:6d}  loss {loss_val:.6g}")
+        if logger is not None and it % log_frequency == 0:
+            _log_metrics(logger, aux, it)
+        if callback is not None and callback(it, loss_val, aux):
+            break
+        if abstol is not None and loss_val < abstol:
+            break
+
+    theta, opt_state, ada_state, _ = carry
+    return SolveResult(u=theta, objective=loss_val, iterations=it,
+                       aux={**{k: v for k, v in aux.items()},
+                            "adaptive_state": ada_state},
+                       history=history)
+
+
+def _log_metrics(logger, aux, step: int):
+    logvector(logger, aux["pde_losses"], "unweighted_loss/pde_losses", step)
+    logvector(logger, aux["bc_losses"], "unweighted_loss/bc_losses", step)
+    logvector(logger, aux["weighted_pde_losses"],
+              "weighted_loss/weighted_pde_losses", step)
+    logvector(logger, aux["weighted_bc_losses"],
+              "weighted_loss/weighted_bc_losses", step)
+    logscalar(logger, float(jnp.sum(aux["weighted_pde_losses"])),
+              "weighted_loss/sum_weighted_pde_losses", step)
+    logscalar(logger, float(jnp.sum(aux["weighted_bc_losses"])),
+              "weighted_loss/sum_weighted_bc_losses", step)
+    logscalar(logger, float(aux["full_weighted_loss"]),
+              "weighted_loss/full_weighted_loss", step)
+    if "additional_loss" in aux:
+        logscalar(logger, float(aux["additional_loss"]),
+                  "weighted_loss/weighted_additional_loss", step)

@@ -1,0 +1,1 @@
+from .pytree import parameters_to_vector, tree_size, vector_to_parameters  # noqa: F401
