@@ -34,5 +34,12 @@ from .compile.lower import (
 )
 from .train import SolveResult, solve
 from .utils.pytree import vector_to_parameters, parameters_to_vector
+from .nn.dgm import DGM, DGMLSTMLayer
+from .nn.deeponet import DeepONet
+from .solvers import (
+    DAEProblem, DeepGalerkin, NNDAE, NNODE, ODEPhi, ODEProblem, ODESolution,
+    PINOODE, PINOODESolution, SDEProblem, neural_adapter, solve_dae, solve_ode,
+    solve_pino_ode,
+)
 
 __version__ = "0.1.0"

@@ -201,15 +201,10 @@ def _ev_deriv(expr: Deriv, env, theta, p, ctx, N):
         if w.name not in inputs:
             return jnp.zeros((N,))  # ∂u/∂z with z not an input of u
         var_indices.append(inputs.index(w.name))
-    # derivative is taken wrt the network's own input coordinates, so the call
-    # argument at each differentiated position must be that plain variable
-    for vi in var_indices:
-        a = target.args[vi]
-        if not (isinstance(a, Sym) and a.name == inputs[vi]):
-            raise ValueError(
-                f"cannot differentiate {target!r} wrt {inputs[vi]}: argument at "
-                f"that position is {a!r}, not the plain variable"
-            )
+    # The derivative is wrt the network's input slot; the call argument at that
+    # position may be a constant (Neumann BC `Dx(u(0, y))`) or any expression —
+    # the stencil/jvp shifts the evaluated row (reference semantics: the FD
+    # engine shifts the bound cord row, src/pinn_types.jl:421-458).
     cord_u = _depvar_cord(target, env, theta, p, ctx, N)
     phi = ctx.phi_for(target.name)
     theta_u = ctx.theta_for(target.name, theta)

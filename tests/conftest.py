@@ -14,3 +14,7 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+
+# Single-core host: XLA compiles dominate test time; cache them across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/neuralpde_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
