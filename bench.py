@@ -1,0 +1,91 @@
+"""Benchmark: collocation points/sec on the 2D Poisson PINN training step.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference (SciML/NeuralPDE.jl) publishes no throughput numbers
+(BASELINE.md), so `vs_baseline` is computed against an estimated CPU-Julia
+throughput for the same workload: a 2x64x64x1 MLP 2D-Poisson residual
+(two 2nd-order FD stencil terms ≈ 9 chained forward evaluations) plus the
+Zygote reverse pass, on one CPU core ≈ 2.5e5 collocation points/sec.  The
+BASELINE.json north star is ≥10x that per-step throughput on one TPU chip.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_POINTS_PER_SEC = 2.5e5  # estimated CPU Julia reference (see docstring)
+
+BATCH = 8192
+HIDDEN = 64
+STEPS_MEASURE = 200
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    import neuralpde_tpu as npde
+    from neuralpde_tpu import (
+        DepVar, Differential, Domain, Eq, Interval, PDESystem,
+        PhysicsInformedNN, StochasticTraining, discretize, mlp, symbols,
+    )
+    from neuralpde_tpu.train import make_step
+
+    x, y = symbols("x y")
+    u = DepVar("u")
+    Dxx = Differential(x) ** 2
+    Dyy = Differential(y) ** 2
+    eq = Eq(Dxx(u(x, y)) + Dyy(u(x, y)),
+            -npde.sin(np.pi * x) * npde.sin(np.pi * y))
+    bcs = [Eq(u(0.0, y), 0.0), Eq(u(1.0, y), 0.0),
+           Eq(u(x, 0.0), 0.0), Eq(u(x, 1.0), 0.0)]
+    system = PDESystem(eq, bcs,
+                       [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))],
+                       [x, y], [u(x, y)])
+    disc = PhysicsInformedNN(mlp([2, HIDDEN, HIDDEN, 1]),
+                             StochasticTraining(BATCH, bcs_points=BATCH // 8))
+    prob = discretize(system, disc)
+
+    opt = optax.adam(1e-3)
+    lf = prob.pinnrep.loss_functions
+    step = make_step(prob.loss, opt, prob.pinnrep.adaloss,
+                     lf.pde_loss_functions, lf.bc_loss_functions)
+    theta = prob.init_params
+    ada = prob.pinnrep.adaloss.init_state(1, 4, prob.pinnrep.dtype)
+    carry = (theta, opt.init(theta), ada, jnp.asarray(0, jnp.int32))
+    key = jax.random.key(0)
+
+    def multi(carry, key):
+        def body(c, _):
+            return step(c, key)
+        carry, (losses, _) = jax.lax.scan(body, carry, None, length=STEPS_MEASURE)
+        return carry, losses[-1]
+
+    jit_multi = jax.jit(multi)
+    carry, loss = jit_multi(carry, key)        # compile + warmup
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    carry, loss = jit_multi(carry, key)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    # interior batch + 4 bc batches of BATCH/8 points each, per step
+    points_per_step = BATCH + 4 * (BATCH // 8)
+    pps = points_per_step * STEPS_MEASURE / dt
+    print(json.dumps({
+        "metric": "2d_poisson_collocation_points_per_sec",
+        "value": round(pps, 1),
+        "unit": "points/sec",
+        "vs_baseline": round(pps / BASELINE_POINTS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,5 @@
+from .hmc import SampleResult, find_good_stepsize, sample, sample_chains  # noqa: F401
+from .ode import (  # noqa: F401
+    BNNODE, BPINNsolution, BPINNstats, LogTargetDensity,
+    ahmc_bayesian_pinn_ode, solve_bnnode,
+)

