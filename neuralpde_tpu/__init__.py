@@ -37,9 +37,15 @@ from .utils.pytree import vector_to_parameters, parameters_to_vector
 from .nn.dgm import DGM, DGMLSTMLayer
 from .nn.deeponet import DeepONet
 from .solvers import (
-    DAEProblem, DeepGalerkin, NNDAE, NNODE, ODEPhi, ODEProblem, ODESolution,
-    PINOODE, PINOODESolution, SDEProblem, neural_adapter, solve_dae, solve_ode,
-    solve_pino_ode,
+    DAEProblem, DeepGalerkin, NNDAE, NNODE, NNSDE, ODEPhi, ODEProblem,
+    ODESolution, PINOODE, PINOODESolution, SDEPINN, SDEProblem, SDEsol,
+    neural_adapter, solve_dae, solve_ode, solve_pino_ode, solve_sde,
+    solve_sde_weak,
 )
+from .bayesian import (
+    BNNODE, BPINNsolution, BPINNstats, ahmc_bayesian_pinn_ode,
+    ahmc_bayesian_pinn_pde, solve_bnnode,
+)
+from .ops.distributions import LogNormal, Normal, Particles, Uniform
 
 __version__ = "0.1.0"

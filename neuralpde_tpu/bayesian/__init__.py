@@ -3,3 +3,4 @@ from .ode import (  # noqa: F401
     BNNODE, BPINNsolution, BPINNstats, LogTargetDensity,
     ahmc_bayesian_pinn_ode, solve_bnnode,
 )
+from .pde import PDELogTargetDensity, ahmc_bayesian_pinn_pde, inference  # noqa: F401

@@ -1,0 +1,272 @@
+"""Bayesian PDE PINN: ahmc_bayesian_pinn_pde (reference: ext/bpinn/PDE_BPINN.jl).
+
+The physics loglikelihood reuses the PDE pipeline's datafree residuals as
+Gaussian (SSE) loglikelihoods over grid/data points
+(reference: src/training_strategies.jl:50-128, src/discretize.jl:651-755);
+the flat HMC vector maps onto the per-depvar parameter pytrees
+(`setparameters`, reference: ext/bpinn/PDE_BPINN.jl:117-139).
+
+The optional `Dict_differentials` symbolic-collocation likelihood of the
+reference is not yet implemented (tracked for a later round).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..compile.discretize import BayesianPINN, symbolic_discretize
+from ..config import default_float
+from ..ops.distributions import Normal, Particles, mvnormal_diag_logpdf
+from ..strategies import GridTraining, generate_training_sets, julia_range
+from ..utils.pytree import parameters_to_vector
+from . import hmc
+from .ode import BPINNsolution, BPINNstats
+
+
+class PDELogTargetDensity:
+    """(reference: ext/bpinn/PDE_BPINN.jl:1-26)"""
+
+    def __init__(self, pinnrep, dataset, priors_nn: Normal, param_priors,
+                 allstd, phynewstd):
+        self.pinnrep = pinnrep
+        self.dataset = dataset
+        self.priors_nn = priors_nn
+        self.param_priors = list(param_priors)
+        self.extraparams = len(self.param_priors)
+        self.phystd, self.bcstd, self.l2std = allstd
+        self.phynewstd = phynewstd
+        self.names = pinnrep.depvars
+        self.multioutput = pinnrep.multioutput
+        dtype = pinnrep.dtype
+
+        # flat layout: per-depvar NN params (declaration order) + inv params
+        init = pinnrep.init_params
+        if self.multioutput:
+            self.unravels = []
+            sizes = []
+            for name in self.names:
+                flat, unr = parameters_to_vector(init[name])
+                self.unravels.append(unr)
+                sizes.append(flat.shape[0])
+            self.sizes = sizes
+            self.init_flat_nn = jnp.concatenate(
+                [parameters_to_vector(init[n])[0] for n in self.names])
+        else:
+            flat, unr = parameters_to_vector(init)
+            self.unravels = [unr]
+            self.sizes = [flat.shape[0]]
+            self.init_flat_nn = flat
+        self.n_nn = int(sum(self.sizes))
+        self.dim = self.n_nn + self.extraparams
+
+        strategy = pinnrep.strategy
+        if not isinstance(strategy, GridTraining):
+            raise ValueError(
+                "BayesianPINN currently supports GridTraining (the reference "
+                "Bayesian loglikelihood path is grid/data-point based)")
+        lf = pinnrep.loss_functions
+        self.pde_residuals = lf.datafree_pde_loss_functions
+        self.bc_residuals = lf.datafree_bc_loss_functions
+        self.pde_sets = generate_training_sets(
+            pinnrep.domains, strategy.dx, pinnrep.pde_args, dtype)
+        self.bc_sets = generate_training_sets(
+            pinnrep.domains, strategy.dx, pinnrep.bc_args, dtype)
+
+        # dataset-point physics sets (reference: src/training_strategies.jl:18-47)
+        self.data_pde_sets = None
+        if dataset is not None:
+            ddi = pinnrep.dict_depvar_input
+            sets = []
+            for args in pinnrep.pde_args:
+                arg_names = [a.name for a in args if hasattr(a, "name")]
+                chosen = None
+                for i, name in enumerate(self.names):
+                    if ddi[name] == arg_names:
+                        chosen = jnp.asarray(
+                            np.asarray(dataset[i])[:, 1:].T, dtype=dtype)
+                        break
+                sets.append(chosen)
+            self.data_pde_sets = sets
+            self.data_mats = [jnp.asarray(np.asarray(m), dtype=dtype)
+                              for m in dataset]
+
+    def setparameters(self, theta):
+        nn = theta[:self.n_nn]
+        if self.multioutput:
+            parts = {}
+            i = 0
+            for name, unr, s in zip(self.names, self.unravels, self.sizes):
+                parts[name] = unr(nn[i:i + s])
+                i += s
+            out = {"depvar": parts}
+        else:
+            out = {"depvar": self.unravels[0](nn)}
+        if self.extraparams > 0:
+            out["p"] = theta[self.n_nn:]
+        return out
+
+    # --- likelihood terms -------------------------------------------------
+    def full_loglikelihood(self, theta_struct):
+        total = 0.0
+        for i, (res, s) in enumerate(zip(self.pde_residuals, self.pde_sets)):
+            r = res(s, theta_struct)
+            total = total + mvnormal_diag_logpdf(
+                r, 0.0, jnp.asarray(self.phystd[i]))
+        for j, (res, s) in enumerate(zip(self.bc_residuals, self.bc_sets)):
+            r = res(s, theta_struct)
+            total = total + mvnormal_diag_logpdf(
+                r, 0.0, jnp.asarray(self.bcstd[j]))
+        if self.data_pde_sets is not None:
+            for i, (res, s) in enumerate(zip(self.pde_residuals,
+                                             self.data_pde_sets)):
+                if s is None:
+                    continue
+                r = res(s, theta_struct)
+                total = total + mvnormal_diag_logpdf(
+                    r, 0.0, jnp.asarray(self.phystd[i]))
+        return total
+
+    def L2LossData(self, theta_struct):
+        if self.dataset is None or self.extraparams <= 0:
+            return 0.0
+        phis = (self.pinnrep.phi if self.multioutput
+                else [self.pinnrep.phi])
+        dep = theta_struct["depvar"]
+        total = 0.0
+        for i, name in enumerate(self.names):
+            mat = self.data_mats[i]
+            params = dep[name] if self.multioutput else dep
+            pred = phis[i](mat[:, 1:].T, params)[0]
+            total = total + mvnormal_diag_logpdf(
+                pred, mat[:, 0], jnp.asarray(self.l2std[i]))
+        return total
+
+    def priorlogpdf(self, theta):
+        nn = theta[:self.n_nn]
+        lp = jnp.sum(self.priors_nn.logpdf(nn))
+        for i, pr in enumerate(self.param_priors):
+            lp = lp + pr.logpdf(theta[self.n_nn + i])
+        return lp
+
+    def __call__(self, theta):
+        ts = self.setparameters(theta)
+        return (self.full_loglikelihood(ts) + self.priorlogpdf(theta)
+                + self.L2LossData(ts))
+
+
+def inference(samples, pinnrep, saveats, numensemble, ltd):
+    """Ensemble predictions on the saveats grid
+    (reference: ext/bpinn/PDE_BPINN.jl:222-312)."""
+    dtype = pinnrep.dtype
+    ranges = {d.variables.name: julia_range(d.domain.lo, d.domain.hi, dx)
+              for d, dx in zip(pinnrep.domains, saveats)}
+    phis = pinnrep.phi if pinnrep.multioutput else [pinnrep.phi]
+    tail = samples[-numensemble:]
+    ensemblecurves, timepoints = [], []
+    for j, name in enumerate(pinnrep.depvars):
+        axes = [ranges[v] for v in pinnrep.dict_depvar_input[name]]
+        grid = np.meshgrid(*axes, indexing="ij")
+        cord = jnp.asarray(np.stack([g.reshape(-1) for g in grid]), dtype=dtype)
+
+        def predict(th):
+            ts = ltd.setparameters(th)
+            dep = ts["depvar"]
+            params = dep[name] if pinnrep.multioutput else dep
+            return phis[j](cord, params)[0]
+
+        preds = jax.vmap(predict)(tail)         # (numensemble, n_points)
+        ensemblecurves.append(Particles(preds))
+        timepoints.append(cord)
+
+    est_nn = ltd.setparameters(jnp.mean(tail, axis=0))["depvar"]
+    est_params = [Particles(tail[:, ltd.n_nn + i])
+                  for i in range(ltd.extraparams)]
+    return ensemblecurves, est_nn, est_params, timepoints
+
+
+def ahmc_bayesian_pinn_pde(
+        pde_system, discretization: BayesianPINN, *, draw_samples: int = 1000,
+        bcstd=(0.01,), l2std=(0.05,), phystd=(0.05,), phynewstd=(0.05,),
+        priorsNNw=(0.0, 2.0), param=(), nchains: int = 1, Kernel: str = "hmc",
+        n_leapfrog: int = 30, target_accept: float = 0.8, max_depth: int = 10,
+        saveats=(1 / 10.0,), numensemble: int | None = None, seed: int = 0,
+        progress: bool = False, verbose: bool = False) -> BPINNsolution:
+    """(reference: ext/bpinn/PDE_BPINN.jl:371-635)"""
+    pinnrep = symbolic_discretize(pde_system, discretization)
+    dataset_pde, dataset_bc = discretization.dataset
+
+    if dataset_pde is None and dataset_bc is None:
+        dataset = None
+    elif dataset_bc is None:
+        dataset = dataset_pde
+    elif dataset_pde is None:
+        dataset = dataset_bc
+    else:
+        dataset = [np.vstack([np.asarray(dataset_pde[i]),
+                              np.asarray(dataset_bc[i])])
+                   for i in range(len(dataset_pde))]
+
+    if discretization.param_estim and not param:
+        raise ValueError("param priors required when param_estim=True")
+    if discretization.param_estim and dataset is None:
+        raise ValueError("dataset required when param_estim=True")
+    if discretization.param_estim and len(l2std) != len(pinnrep.depvars):
+        raise ValueError("L2 stds length must match number of dependant "
+                         "variables")
+    if len(pinnrep.domains) != len(saveats):
+        raise ValueError("Number of independent variables must match saveat "
+                         "inference discretization steps")
+
+    numensemble = numensemble or draw_samples // 3
+    priors_nn = Normal(float(priorsNNw[0]), float(priorsNNw[1]))
+    ltd = PDELogTargetDensity(pinnrep, dataset, priors_nn, param,
+                              [list(phystd), list(bcstd), list(l2std)],
+                              list(phynewstd))
+
+    theta0 = ltd.init_flat_nn
+    if param:
+        theta0 = jnp.concatenate([
+            theta0, jnp.asarray([pr.mean for pr in param], dtype=theta0.dtype)])
+
+    if verbose:
+        ts0 = ltd.setparameters(theta0)
+        print(f"Current Physics Log-likelihood : "
+              f"{float(ltd.full_loglikelihood(ts0)):g}")
+        print(f"Current Prior Log-likelihood : {float(ltd.priorlogpdf(theta0)):g}")
+        print(f"Current SSE against dataset Log-likelihood : "
+              f"{float(ltd.L2LossData(ts0)):g}")
+
+    key = jax.random.key(seed + 1)
+    if nchains > 1:
+        sols = []
+        for i in range(nchains):
+            k = jax.random.key(seed + 100 + i)
+            q0 = jnp.concatenate([jax.random.normal(k, (ltd.n_nn,)),
+                                  theta0[ltd.n_nn:]])
+            res = hmc.sample(ltd, q0, jax.random.fold_in(key, i),
+                             draw_samples, kernel=Kernel,
+                             n_leapfrog=n_leapfrog,
+                             target_accept=target_accept, max_depth=max_depth)
+            curves, est_nn, est_p, tp = inference(res.samples, pinnrep,
+                                                  saveats, numensemble, ltd)
+            sols.append(BPINNsolution(BPINNstats(None, res.samples, res.stats),
+                                      curves, est_nn, est_p, tp))
+        return sols
+
+    res = hmc.sample(ltd, theta0, key, draw_samples, kernel=Kernel,
+                     n_leapfrog=n_leapfrog, target_accept=target_accept,
+                     max_depth=max_depth)
+    if verbose:
+        tsf = ltd.setparameters(res.samples[-1])
+        print("Sampling Complete.")
+        print(f"Final Physics Log-likelihood : "
+              f"{float(ltd.full_loglikelihood(tsf)):g}")
+    curves, est_nn, est_p, tp = inference(res.samples, pinnrep, saveats,
+                                          numensemble, ltd)
+    return BPINNsolution(BPINNstats(None, res.samples, res.stats),
+                         curves, est_nn, est_p, tp)

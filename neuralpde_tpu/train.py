@@ -78,7 +78,16 @@ def make_step(loss_fn, optimizer, adaloss=None, pde_loss_fns=(), bc_loss_fns=())
             ada_state = jax.lax.cond((it + 1) % every == 0, do_reweight,
                                      lambda a: a, ada_state)
 
-        updates, opt_state = optimizer.update(grads, opt_state, theta)
+        def value_fn(th):
+            return loss_fn(th, lstate)[0]
+
+        try:
+            # linesearch-based optimizers (optax.lbfgs) take extra args
+            updates, opt_state = optimizer.update(
+                grads, opt_state, theta, value=loss, grad=grads,
+                value_fn=value_fn)
+        except TypeError:
+            updates, opt_state = optimizer.update(grads, opt_state, theta)
         theta = optax.apply_updates(theta, updates)
         return (theta, opt_state, ada_state, it + 1), (loss, aux)
 

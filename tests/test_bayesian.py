@@ -40,9 +40,9 @@ def test_nuts_correlated_gaussian():
         return -0.5 * q @ prec @ q
 
     res = hmc.sample(logdensity, jnp.zeros(2) + 3.0, jax.random.key(0),
-                     draw_samples=1500, kernel="nuts", max_depth=6,
+                     draw_samples=2600, kernel="nuts", max_depth=6,
                      init_step_size=0.2)
-    tail = np.asarray(res.samples[1000:])
+    tail = np.asarray(res.samples[1750:])
     np.testing.assert_allclose(tail.mean(0), [0.0, 0.0], atol=0.3)
     emp_cov = np.cov(tail.T)
     np.testing.assert_allclose(emp_cov, np.asarray(cov), atol=0.4)

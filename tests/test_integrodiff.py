@@ -1,0 +1,96 @@
+"""Integro-differential equation tests (reference group: test/IntegroDiff/),
+exercising IntegralExpr lowering: parametric bounds, multi-dim integrals,
+infinite-domain transforms (component C13)."""
+
+import numpy as np
+import jax.numpy as jnp
+import optax
+
+from neuralpde_tpu import (
+    DepVar, Differential, Domain, Eq, GridTraining, Integral, Interval,
+    PDESystem, PhysicsInformedNN, discretize, mlp, solve, symbols,
+)
+from neuralpde_tpu.nn.core import sigmoid
+
+
+def test_volterra_ide_parametric_upper_bound():
+    """i'(t) + 2 i(t) + 5 ∫₀ᵗ i(s) ds = 1, i(0)=0 ->
+    i = e^{-t} sin(2t)/2 (reference: ide__integrodiff_example_1_1d.jl,
+    asserts MSE < 0.02)."""
+    t = symbols("t")
+    i = DepVar("i")
+    Di = Differential(t)
+    Ii = Integral(t, 0.0, t)   # parametric upper bound
+    eq = Eq(Di(i(t)) + 2.0 * i(t) + 5.0 * Ii(i(t)), 1.0)
+    bcs = [Eq(i(0.0), 0.0)]
+    system = PDESystem(eq, bcs, [Domain(t, Interval(0, 2))], [t], [i(t)])
+    disc = PhysicsInformedNN(mlp([1, 15, 1], activation=sigmoid),
+                             GridTraining(0.1), integral_order=10)
+    prob = discretize(system, disc)
+    res = solve(prob, optax.adam(0.02), maxiters=3000, inner_steps=25)
+    ts = np.arange(0, 2.0001, 0.01)
+    pred = np.asarray(disc.phi(jnp.asarray(ts[None, :]), res.u["depvar"])[0])
+    want = 0.5 * np.exp(-ts) * np.sin(2 * ts)
+    assert np.mean((pred - want) ** 2) < 0.02
+
+
+def test_2d_integral_constraint():
+    """∫∫_unit square u dx dy = 1/3 with gradient BCs -> u = 1 - x² - y²
+    (reference: ide__integrodiff_example_3_2_inputs_1_output.jl, MSE < 1e-3)."""
+    x, y = symbols("x y")
+    u = DepVar("u")
+    Dx = Differential(x)
+    Dy = Differential(y)
+    Ix = Integral((x, y), (0.0, 0.0), (1.0, 1.0))
+    eq = Eq(Ix(u(x, y)), 1.0 / 3.0)
+    bcs = [Eq(u(0.0, 0.0), 1.0), Eq(Dx(u(x, y)), -2.0 * x),
+           Eq(Dy(u(x, y)), -2.0 * y)]
+    system = PDESystem(eq, bcs,
+                       [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))],
+                       [x, y], [u(x, y)])
+    disc = PhysicsInformedNN(mlp([2, 15, 1], activation=sigmoid),
+                             GridTraining(0.1), integral_order=10)
+    prob = discretize(system, disc)
+    res = solve(prob, optax.adam(0.02), maxiters=3000, inner_steps=25)
+    xs = np.linspace(0, 1, 21)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    cord = jnp.asarray(np.stack([X.reshape(-1), Y.reshape(-1)]))
+    pred = np.asarray(disc.phi(cord, res.u["depvar"])[0])
+    want = (1 - X**2 - Y**2).reshape(-1)
+    assert np.mean((pred - want) ** 2) < 1e-3
+
+
+def test_infinite_upper_bound():
+    """∫₁ˣ u ds = ∫₁^∞ u ds - 1/x, u(1)=1 -> u = 1/x²
+    (reference: ide__integrodiff_example_6_infinity.jl, rtol 0.1)."""
+    x = symbols("x")
+    u = DepVar("u")
+    I1 = Integral(x, 1.0, x)
+    Iinf = Integral(x, 1.0, np.inf)
+    eq = Eq(I1(u(x)), Iinf(u(x)) - 1.0 / x)
+    bcs = [Eq(u(1.0), 1.0)]
+    system = PDESystem(eq, bcs, [Domain(x, Interval(1, 2))], [x], [u(x)])
+    disc = PhysicsInformedNN(mlp([1, 10, 1], activation=sigmoid),
+                             GridTraining(0.1), integral_order=12,
+                             integral_panels=2)
+    prob = discretize(system, disc)
+    res = solve(prob, optax.adam(0.02), maxiters=3000, inner_steps=25)
+    xs = np.arange(1.0, 2.0001, 0.01)
+    pred = np.asarray(disc.phi(jnp.asarray(xs[None, :]), res.u["depvar"])[0])
+    want = 1.0 / xs**2
+    assert np.max(np.abs(pred - want) / np.abs(want)) < 0.1
+
+
+def test_lbfgs_optimizer_integration():
+    """optax.lbfgs path through the train loop (reference tests use BFGS)."""
+    t = symbols("t")
+    u = DepVar("u")
+    eq = Eq(Differential(t)(u(t)), -u(t))
+    bcs = [Eq(u(0.0), 1.0)]
+    system = PDESystem(eq, bcs, [Domain(t, Interval(0, 1))], [t], [u(t)])
+    disc = PhysicsInformedNN(mlp([1, 12, 1]), GridTraining(0.05))
+    prob = discretize(system, disc)
+    res = solve(prob, optax.lbfgs(), maxiters=200, inner_steps=10)
+    ts = np.linspace(0, 1, 20)
+    pred = np.asarray(disc.phi(jnp.asarray(ts[None, :]), res.u["depvar"])[0])
+    assert np.max(np.abs(pred - np.exp(-ts))) < 0.05
