@@ -18,7 +18,11 @@ import math
 
 from ..symbolic.expr import Expr, IntegralExpr, Num, Sym, substitute
 
-_EPS = 1.0 / 20.0
+# The reference clips with ε = 1/20 (src/transform_inf_integral.jl:129),
+# truncating 5% of the transformed domain — a visible bias once the optimizer
+# fits the truncated equation tightly.  Our fixed-order rules handle the
+# smooth transformed integrand fine much closer to the endpoint.
+_EPS = 1.0e-3
 
 
 def _is_neg_inf(b) -> bool:

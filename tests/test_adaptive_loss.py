@@ -1,0 +1,61 @@
+"""Adaptive-loss reweighting tests (reference group: test/AdaptiveLoss/):
+2D Poisson under each scheme, asserting relative total diff < 0.4 like the
+reference (adaptive_loss__2d_poisson_*.jl:88-105)."""
+
+import numpy as np
+import jax.numpy as jnp
+import optax
+import pytest
+
+from neuralpde_tpu import (
+    DepVar, Differential, Domain, Eq, GradientScaleAdaptiveLoss, Interval,
+    MiniMaxAdaptiveLoss, NonAdaptiveLoss, PDESystem, PhysicsInformedNN,
+    ReLoBRaLoAdaptiveLoss, SoftAdaptAdaptiveLoss, StochasticTraining,
+    discretize, mlp, solve, symbols,
+)
+from neuralpde_tpu.symbolic.expr import sin
+
+
+def run_poisson_adaptive(adaptive_loss, maxiters=2500, seed=60):
+    x, y = symbols("x y")
+    u = DepVar("u")
+    Dxx = Differential(x) ** 2
+    Dyy = Differential(y) ** 2
+    eq = Eq(Dxx(u(x, y)) + Dyy(u(x, y)), -sin(np.pi * x) * sin(np.pi * y))
+    bcs = [Eq(u(0.0, y), 0.0), Eq(u(1.0, y), 0.0),
+           Eq(u(x, 0.0), 0.0), Eq(u(x, 1.0), 0.0)]
+    system = PDESystem(eq, bcs,
+                       [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))],
+                       [x, y], [u(x, y)])
+    disc = PhysicsInformedNN(mlp([2, 16, 16, 1]), StochasticTraining(256),
+                             adaptive_loss=adaptive_loss, seed=seed)
+    prob = discretize(system, disc)
+    res = solve(prob, optax.adam(0.03), maxiters=maxiters, inner_steps=25)
+    xs = ys = np.linspace(0, 1, 21)
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    cord = jnp.asarray(np.stack([X.reshape(-1), Y.reshape(-1)]))
+    pred = np.asarray(disc.phi(cord, res.u["depvar"])[0]).reshape(21, 21)
+    want = np.sin(np.pi * X) * np.sin(np.pi * Y) / (2 * np.pi**2)
+    total_diff_rel = (np.sum(np.abs(pred - want))
+                      / np.sum(np.abs(want)))
+    return total_diff_rel, res
+
+
+ADALOSSES = [
+    NonAdaptiveLoss(),
+    GradientScaleAdaptiveLoss(100),
+    MiniMaxAdaptiveLoss(100),
+    SoftAdaptAdaptiveLoss(100),
+    ReLoBRaLoAdaptiveLoss(100),
+]
+
+
+@pytest.mark.parametrize("adaloss", ADALOSSES, ids=lambda a: type(a).__name__)
+def test_2d_poisson_adaptive(adaloss):
+    total_diff_rel, res = run_poisson_adaptive(adaloss)
+    # reference asserts < 0.4 (test/AdaptiveLoss/...gradientscale...jl:96,104)
+    assert total_diff_rel < 0.4
+    # weights evolved for adaptive schemes
+    w = res.aux["adaptive_state"]["bc_weights"]
+    if not isinstance(adaloss, NonAdaptiveLoss):
+        assert not np.allclose(np.asarray(w), 1.0)

@@ -1,0 +1,64 @@
+"""Bayesian PDE PINN tests (reference group: test/PDEBPINN/)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from neuralpde_tpu import (
+    BayesianPINN, DepVar, Differential, Domain, Eq, GridTraining, Interval,
+    Normal, Param, PDESystem, ahmc_bayesian_pinn_pde, mlp, symbols,
+)
+from neuralpde_tpu.nn.core import sigmoid
+
+
+def test_bpinn_pde_forward():
+    """Forward Bayesian solve of u' = cos(2πt) (reference:
+    bpinn_pde forward tests); ensemble mean tracks the analytic solution."""
+    t = symbols("t")
+    u = DepVar("u")
+    Dt = Differential(t)
+    eq = Eq(Dt(u(t)), npde_cos(2 * np.pi * t))
+    bcs = [Eq(u(0.0), 0.0)]
+    system = PDESystem(eq, bcs, [Domain(t, Interval(0, 1))], [t], [u(t)])
+    disc = BayesianPINN(mlp([1, 10, 1], activation=sigmoid), GridTraining(0.05))
+    sol = ahmc_bayesian_pinn_pde(
+        system, disc, draw_samples=350, bcstd=[0.02], phystd=[0.05],
+        priorsNNw=(0.0, 3.0), saveats=[0.02], n_leapfrog=20)
+    curve = np.asarray(sol.ensemblesol[0].mean)
+    ts = np.asarray(sol.timepoints[0][0])
+    want = np.sin(2 * np.pi * ts) / (2 * np.pi)
+    assert np.sqrt(np.mean((curve - want) ** 2)) < 0.1
+
+
+def npde_cos(e):
+    from neuralpde_tpu import cos
+    return cos(e)
+
+
+def test_bpinn_pde_inverse_parameter_recovery():
+    """Inverse: recover decay rate from data (reference:
+    bpinn_pde inverse tests, param error < 0.3·true)."""
+    t = symbols("t")
+    u = DepVar("u")
+    lam = Param("lam")
+    Dt = Differential(t)
+    true_lam = 2.0
+    eq = Eq(Dt(u(t)), -lam * u(t))
+    bcs = [Eq(u(0.0), 1.0)]
+    system = PDESystem(eq, bcs, [Domain(t, Interval(0, 1))], [t], [u(t)],
+                       ps=[lam])
+
+    rng = np.random.default_rng(0)
+    ts = np.linspace(0.0, 1.0, 40)
+    us = np.exp(-true_lam * ts) + 0.02 * rng.standard_normal(len(ts))
+    dataset_pde = [np.column_stack([us, ts])]
+
+    disc = BayesianPINN(mlp([1, 10, 1], activation=sigmoid),
+                        GridTraining(0.05), dataset=(dataset_pde, None),
+                        param_estim=True)
+    sol = ahmc_bayesian_pinn_pde(
+        system, disc, draw_samples=400, bcstd=[0.02], phystd=[0.05],
+        l2std=[0.05], priorsNNw=(0.0, 3.0), param=[Normal(1.0, 1.0)],
+        saveats=[0.02], n_leapfrog=20)
+    lam_est = float(sol.estimated_de_params[0].mean)
+    assert abs(lam_est - true_lam) < 0.3 * true_lam

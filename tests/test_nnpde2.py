@@ -1,0 +1,98 @@
+"""NNPDE2-style tests (reference group: test/NNPDE2/): direct function
+approximation (no derivatives) and additional-loss workflows (inverse
+parameter estimation from data)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+import neuralpde_tpu as npde
+from neuralpde_tpu import (
+    DepVar, Differential, Domain, Eq, GridTraining, Interval, Param,
+    PDESystem, PhysicsInformedNN, discretize, mlp, solve, symbols,
+)
+
+
+def test_direct_function_approximation_1d():
+    """u(x) ~ target(x) with no derivatives (reference:
+    direct_function__approximation_of_function_1d.jl, rtol 0.02)."""
+    x = symbols("x")
+    u = DepVar("u")
+    # target: x^2 + exp(-x) on [0, 2] — via symbolic expression
+    eq = Eq(u(x), x**2 + npde.exp(-x))
+    bcs = [Eq(u(0.0), 1.0)]
+    system = PDESystem(eq, bcs, [Domain(x, Interval(0, 2))], [x], [u(x)])
+    disc = PhysicsInformedNN(mlp([1, 16, 16, 1]), GridTraining(0.05))
+    prob = discretize(system, disc)
+    res = solve(prob, optax.adam(0.02), maxiters=2500, inner_steps=25)
+    xs = np.linspace(0, 2, 50)
+    pred = np.asarray(disc.phi(jnp.asarray(xs[None, :]), res.u["depvar"])[0])
+    want = xs**2 + np.exp(-xs)
+    assert np.max(np.abs(pred - want) / np.abs(want)) < 0.02
+
+
+def test_parameter_estimation_with_additional_loss():
+    """Inverse problem: estimate the decay rate λ in u' = -λ u from data via
+    param_estim + additional_loss (reference:
+    additional_loss__lorenz_system.jl pattern, squared param error < 0.5)."""
+    t = symbols("t")
+    u = DepVar("u")
+    lam = Param("lam")
+    Dt = Differential(t)
+    eq = Eq(Dt(u(t)), -lam * u(t))
+    bcs = [Eq(u(0.0), 1.0)]
+    system = PDESystem(eq, bcs, [Domain(t, Interval(0, 1))], [t], [u(t)],
+                       ps=[lam], defaults={lam: 1.0})
+
+    true_lam = 2.3
+    ts_data = np.linspace(0, 1, 30)
+    us_data = np.exp(-true_lam * ts_data)
+    ts_j = jnp.asarray(ts_data[None, :])
+    us_j = jnp.asarray(us_data)
+
+    def additional_loss(phi, theta, p):
+        pred = phi(ts_j, theta["u"] if isinstance(theta, dict) and "u" in theta
+                   else theta)[0]
+        return jnp.mean((pred - us_j) ** 2)
+
+    disc = PhysicsInformedNN(mlp([1, 16, 1]), GridTraining(0.05),
+                             param_estim=True,
+                             additional_loss=additional_loss)
+    prob = discretize(system, disc)
+    res = solve(prob, optax.adam(0.02), maxiters=4000, inner_steps=25)
+    lam_est = float(res.u["p"][0])
+    assert (lam_est - true_lam) ** 2 < 0.5  # reference tolerance
+    assert abs(lam_est - true_lam) < 0.15
+
+
+def test_default_p_used_without_param_estim():
+    """Parameters with defaults are substituted when param_estim=False."""
+    t = symbols("t")
+    u = DepVar("u")
+    a = Param("a")
+    eq = Eq(Differential(t)(u(t)), -a * u(t))
+    bcs = [Eq(u(0.0), 1.0)]
+    system = PDESystem(eq, bcs, [Domain(t, Interval(0, 1))], [t], [u(t)],
+                       ps=[a], defaults={a: 1.5})
+    disc = PhysicsInformedNN(mlp([1, 12, 1]), GridTraining(0.05))
+    prob = discretize(system, disc)
+    res = solve(prob, optax.adam(0.02), maxiters=1500, inner_steps=25)
+    ts = np.linspace(0, 1, 20)
+    pred = np.asarray(disc.phi(jnp.asarray(ts[None, :]), res.u["depvar"])[0])
+    assert np.max(np.abs(pred - np.exp(-1.5 * ts))) < 0.05
+
+
+def test_empty_boundary_conditions_error():
+    """Trivial/empty BC handling (reference root tests:
+    direct_function__empty_boundary_condition_fails_in_solve_phase.jl)."""
+    x = symbols("x")
+    u = DepVar("u")
+    eq = Eq(Differential(x)(u(x)), u(x))
+    system = PDESystem(eq, [], [Domain(x, Interval(0, 1))], [x], [u(x)])
+    disc = PhysicsInformedNN(mlp([1, 8, 1]), GridTraining(0.1))
+    prob = discretize(system, disc)  # builds fine; no bc losses
+    assert len(prob.pinnrep.loss_functions.bc_loss_functions) == 0
+    res = solve(prob, optax.adam(0.05), maxiters=50, inner_steps=25)
+    assert np.isfinite(res.objective)

@@ -1,0 +1,80 @@
+"""Checkpoint/resume, logging hooks, pytree utils, profiling."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from neuralpde_tpu import LogOptions, logscalar, logvector, mlp
+from neuralpde_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+from neuralpde_tpu.utils.profiling import PhaseTimer, checkify_residual
+from neuralpde_tpu.utils.pytree import (
+    parameters_to_vector, tree_size, vector_to_parameters,
+)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    net = mlp([2, 8, 1])
+    params = net.init(jax.random.key(0))
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, params, opt_state, iteration=42)
+    p2, o2, it = restore_checkpoint(path, params, opt_state)
+    assert it == 42
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert len(jax.tree.leaves(o2)) == len(jax.tree.leaves(opt_state))
+
+
+def test_vector_roundtrip():
+    net = mlp([3, 5, 2])
+    params = net.init(jax.random.key(1))
+    vec, unravel = parameters_to_vector(params)
+    assert vec.shape == (tree_size(params),)
+    back = vector_to_parameters(vec, params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class _RecordingLogger:
+    def __init__(self):
+        self.records = []
+
+    def log_scalar(self, name, value, step):
+        self.records.append((name, value, step))
+
+
+def test_logging_hooks():
+    logger = _RecordingLogger()
+    logscalar(logger, 1.5, "loss/total", 10)
+    logvector(logger, [1.0, 2.0], "loss/parts", 10)
+    names = [r[0] for r in logger.records]
+    assert names == ["loss/total", "loss/parts/1", "loss/parts/2"]
+    # no-op for logger without the method / None
+    logscalar(None, 1.0, "x", 0)
+    logscalar(object(), 1.0, "x", 0)
+    assert LogOptions().log_frequency == 50
+
+
+def test_phase_timer():
+    t = PhaseTimer()
+    with t.phase("a"):
+        pass
+    with t.phase("a"):
+        pass
+    s = t.summary()
+    assert s["a"]["count"] == 2
+
+
+def test_checkify_residual_catches_nan():
+    def residual(x):
+        return jnp.log(x)  # NaN for negative input
+
+    checked = checkify_residual(residual)
+    err, out = checked(jnp.asarray(-1.0))
+    with pytest.raises(Exception):
+        err.throw()
