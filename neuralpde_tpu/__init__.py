@@ -47,5 +47,6 @@ from .bayesian import (
     ahmc_bayesian_pinn_pde, solve_bnnode,
 )
 from .ops.distributions import LogNormal, Normal, Particles, Uniform
+from .utils.eltype import EltypeAdaptor, recursive_eltype
 
 __version__ = "0.1.0"

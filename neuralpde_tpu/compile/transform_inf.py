@@ -18,11 +18,12 @@ import math
 
 from ..symbolic.expr import Expr, IntegralExpr, Num, Sym, substitute
 
-# The reference clips with ε = 1/20 (src/transform_inf_integral.jl:129),
-# truncating 5% of the transformed domain — a visible bias once the optimizer
-# fits the truncated equation tightly.  Our fixed-order rules handle the
-# smooth transformed integrand fine much closer to the endpoint.
-_EPS = 1.0e-3
+# ε = 1/20 mirrors the reference (src/transform_inf_integral.jl:129).  The
+# clipping bounds the effective domain (x ≲ 20 for semi-infinite) so the
+# network's unconstrained far-field tail cannot dominate the integral; the
+# cost is a small inconsistency in the truncated equation, which is why the
+# reference tests fit these problems only moderately (BFGS, ~200 iters).
+_EPS = 1.0 / 20.0
 
 
 def _is_neg_inf(b) -> bool:

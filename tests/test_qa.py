@@ -1,0 +1,84 @@
+"""QA group (reference: test/qa/qa.jl — Aqua/ExplicitImports lint).
+
+Python equivalent: every module imports cleanly, the public API surface
+matches the reference's export list (src/NeuralPDE.jl:90-116), and docstrings
+cite the reference."""
+
+import importlib
+import pkgutil
+
+import neuralpde_tpu
+
+
+MODULES = [
+    "neuralpde_tpu",
+    "neuralpde_tpu.config",
+    "neuralpde_tpu.strategies",
+    "neuralpde_tpu.adaptive",
+    "neuralpde_tpu.train",
+    "neuralpde_tpu.logging_utils",
+    "neuralpde_tpu.symbolic.expr",
+    "neuralpde_tpu.symbolic.system",
+    "neuralpde_tpu.compile.lower",
+    "neuralpde_tpu.compile.discretize",
+    "neuralpde_tpu.compile.transform_inf",
+    "neuralpde_tpu.nn.core",
+    "neuralpde_tpu.nn.dgm",
+    "neuralpde_tpu.nn.deeponet",
+    "neuralpde_tpu.ops.derivatives",
+    "neuralpde_tpu.ops.quadrature",
+    "neuralpde_tpu.ops.sampling",
+    "neuralpde_tpu.ops.distributions",
+    "neuralpde_tpu.solvers.ode",
+    "neuralpde_tpu.solvers.dae",
+    "neuralpde_tpu.solvers.pino",
+    "neuralpde_tpu.solvers.sde",
+    "neuralpde_tpu.solvers.sde_weak",
+    "neuralpde_tpu.solvers.dgm",
+    "neuralpde_tpu.solvers.adapter",
+    "neuralpde_tpu.bayesian.hmc",
+    "neuralpde_tpu.bayesian.nuts",
+    "neuralpde_tpu.bayesian.ode",
+    "neuralpde_tpu.bayesian.pde",
+    "neuralpde_tpu.parallel.mesh",
+    "neuralpde_tpu.utils.pytree",
+    "neuralpde_tpu.utils.checkpoint",
+    "neuralpde_tpu.utils.profiling",
+    "neuralpde_tpu.utils.eltype",
+]
+
+
+def test_all_modules_import():
+    for mod in MODULES:
+        importlib.import_module(mod)
+
+
+# reference exports (src/NeuralPDE.jl:90-116) -> our names
+REFERENCE_EXPORTS = [
+    "PINOODE", "NNODE", "NNDAE", "BNNODE", "ahmc_bayesian_pinn_ode",
+    "ahmc_bayesian_pinn_pde", "NNSDE", "SDEPINN", "PhysicsInformedNN",
+    "discretize", "BPINNsolution", "BayesianPINN", "DeepGalerkin",
+    "neural_adapter",
+    "GridTraining", "StochasticTraining", "QuadratureTraining",
+    "QuasiRandomTraining", "WeightedIntervalTraining",
+    "build_residual_function",           # build_loss_function analog
+    "generate_training_sets", "get_bounds",
+    "get_variables", "get_argument", "get_integration_variables",
+    "symbolic_discretize", "vector_to_parameters",
+    "NonAdaptiveLoss", "GradientScaleAdaptiveLoss", "MiniMaxAdaptiveLoss",
+    "SoftAdaptAdaptiveLoss", "ReLoBRaLoAdaptiveLoss",
+    "LogOptions", "logscalar", "logvector",
+]
+
+
+def test_reference_export_parity():
+    missing = [n for n in REFERENCE_EXPORTS if not hasattr(neuralpde_tpu, n)]
+    assert not missing, f"missing reference exports: {missing}"
+
+
+def test_docstrings_cite_reference():
+    import neuralpde_tpu.compile.discretize as d
+    import neuralpde_tpu.ops.derivatives as dv
+
+    assert "src/discretize.jl" in d.__doc__
+    assert "src/pinn_types.jl" in dv.__doc__
