@@ -164,14 +164,22 @@ class SoftAdaptAdaptiveLoss(AbstractAdaptiveLoss):
 
 
 class ReLoBRaLoAdaptiveLoss(AbstractAdaptiveLoss):
-    """Relative loss balancing with random (Bernoulli(β)) lookback."""
+    """Relative loss balancing with random (Bernoulli(β)) lookback.
+
+    ``smoothing`` is the paper's exponential-decay mixing of new and previous
+    weights (Bischof & Kraus 2021, their α).  The reference implementation
+    omits it (reference: src/adaptive_losses.jl:442-491, direct assignment),
+    so the default 0.0 is reference-exact; without smoothing the softmax can
+    collapse to one-hot when near-converged losses fluctuate — set e.g.
+    smoothing=0.9 for the paper's stable behavior."""
 
     def __init__(self, reweight_every: int, alpha: float = 1.0, beta: float = 0.9,
-                 **kw):
+                 smoothing: float = 0.0, **kw):
         super().__init__(**kw)
         self.reweight_every = reweight_every
         self.alpha = alpha
         self.beta = beta
+        self.smoothing = smoothing
 
     def init_state(self, n_pde, n_bc, dtype):
         s = self._base_state(n_pde, n_bc, dtype)
@@ -199,9 +207,12 @@ class ReLoBRaLoAdaptiveLoss(AbstractAdaptiveLoss):
         n = all_losses.shape[0]
         weights = _softmax(self.alpha * all_losses / (all_ref + eps)) * n
         n_pde = pde_losses.shape[0]
+        s = self.smoothing
+        new_pde_w = s * state["pde_weights"] + (1 - s) * weights[:n_pde]
+        new_bc_w = s * state["bc_weights"] + (1 - s) * weights[n_pde:]
         return {**state,
-                "pde_weights": weights[:n_pde],
-                "bc_weights": weights[n_pde:],
+                "pde_weights": new_pde_w,
+                "bc_weights": new_bc_w,
                 "init_pde_losses": init_pde,
                 "init_bc_losses": init_bc,
                 "prev_pde_losses": pde_losses,

@@ -55,6 +55,12 @@ def ode_dfdx(phi: ODEPhi, ts, theta, autodiff: bool):
     return (phi(ts + eps, theta) - phi(ts, theta)) / eps
 
 
+def _abs2(z):
+    """|z|² — correct for complex residuals (reference uses abs2 throughout;
+    NNODE allows complex u, src/ode_solve.jl:363)."""
+    return jnp.real(z * jnp.conj(z))
+
+
 def _batched_f(f):
     return jax.vmap(lambda u, p, t: jnp.atleast_1d(jnp.asarray(f(u, p, t))),
                     in_axes=(1, None, 0), out_axes=1)
@@ -68,7 +74,7 @@ def inner_loss(phi, f, autodiff, ts, theta, p, param_estim, scalar_u0):
     u_in = out[0] if scalar_u0 else out
     fs = _batched_f(f)(jnp.atleast_2d(u_in), p_, ts)
     dxdt = ode_dfdx(phi, ts, theta, autodiff)
-    return jnp.sum((fs - dxdt) ** 2) / ts.shape[0]
+    return jnp.sum(_abs2(fs - dxdt)) / ts.shape[0]
 
 
 @dataclass
@@ -107,7 +113,7 @@ def generate_l2_loss_data(dataset, phi, n_output):
 
     def loss(theta, key=None):
         pred = phi(t, theta)
-        return sum(jnp.sum((pred[i] - us[i]) ** 2) for i in range(n_output))
+        return sum(jnp.sum(_abs2(pred[i] - us[i])) for i in range(n_output))
 
     return loss
 
@@ -124,7 +130,7 @@ def generate_l2_loss_collocate(f, autodiff, dataset, phi, n_output, scalar_u0):
         dxdt = ode_dfdx(phi, t, theta, autodiff)
         u_in = us[0] if scalar_u0 else us
         fs = _batched_f(f)(jnp.atleast_2d(u_in), theta["p"], t)
-        return jnp.sum(((dxdt - fs) ** 2) * w[None, :])
+        return jnp.sum(_abs2(dxdt - fs) * w[None, :])
 
     return loss
 
@@ -163,7 +169,7 @@ def _strategy_loss(strategy, phi, f, autodiff, tspan, p, param_estim, scalar_u0,
             u_in = out[0] if scalar_u0 else out
             fs = _batched_f(f)(jnp.atleast_2d(u_in), p_, ts)
             dxdt = ode_dfdx(phi, ts, theta, autodiff)
-            pointwise = jnp.sum((fs - dxdt) ** 2, axis=0)  # |residual|² per t
+            pointwise = jnp.sum(_abs2(fs - dxdt), axis=0)  # |residual|² per t
             # reference integrates abs2(inner_loss) (src/ode_solve.jl:212-216)
             return jnp.sum(pointwise**2 * w)
 

@@ -50,7 +50,7 @@ ADALOSSES = [
     GradientScaleAdaptiveLoss(100, pde_loss_weights=1e3, bc_loss_weights=1.0),
     MiniMaxAdaptiveLoss(100),
     SoftAdaptAdaptiveLoss(100),
-    ReLoBRaLoAdaptiveLoss(100, alpha=0.2),
+    ReLoBRaLoAdaptiveLoss(100, alpha=0.5, smoothing=0.9),
 ]
 
 

@@ -133,3 +133,33 @@ def test_param_estim_requires_data():
     alg = NNODE(mlp([1, 8, 1]), optax.adam(0.05), param_estim=True)
     with pytest.raises(ValueError, match="[Dd]ataset"):
         solve_ode(prob, alg, dt=0.1, maxiters=10)
+
+
+def test_complex_ode():
+    """Complex-valued ODE u' = i·u (reference: SciMLBase.allowscomplex(::NNODE),
+    src/ode_solve.jl:363; complex chains in test/NNODE).  complex64 — C128 is
+    unsupported on TPU, so x64 is disabled for this test."""
+    import jax
+
+    jax.config.update("jax_enable_x64", False)
+    try:
+        _run_complex_ode()
+    finally:
+        jax.config.update("jax_enable_x64", True)
+
+
+def _run_complex_ode():
+    import jax
+
+    net = mlp([1, 16, 1], activation=jnp.tanh)
+    p0 = jax.tree.map(lambda x: x.astype(jnp.complex64),
+                      net.init(jax.random.key(0)))
+    prob = ODEProblem(f=lambda u, p, t: 1j * u,
+                      u0=np.complex64(1.0 + 0j), tspan=(0.0, 2.0))
+    alg = NNODE(net, optax.adam(0.02), init_params=p0)
+    sol = solve_ode(prob, alg, dt=0.05, maxiters=2000, abstol=1e-10,
+                    inner_steps=25)
+    ts = np.linspace(0, 2, 20, dtype=np.float32)
+    pred = np.asarray(sol(jnp.asarray(ts)))
+    want = np.exp(1j * ts)
+    assert np.abs(pred - want).max() < 0.1

@@ -89,3 +89,42 @@ def test_heat_equation_quadrature():
     pred = np.asarray(disc.phi(cord, res.u["depvar"])[0]).reshape(15, 15)
     want = np.sin(np.pi * X) * np.exp(-alpha * np.pi**2 * T)
     assert np.sqrt(np.mean((pred - want) ** 2)) < 0.05
+
+
+def test_1d_viscous_burgers_quadrature_minimax():
+    """1D viscous Burgers u_t + u u_x = ν u_xx with QuadratureTraining +
+    MiniMaxAdaptiveLoss (BASELINE.json config 3). Manufactured solution via
+    the Cole-Hopf tanh wave: u = -tanh((x - t/2)/(4ν))/2 + 1/2 solves it for
+    wave speed 1/2 and amplitude 1/2... use the standing viscous shock
+    u(x,t) = -tanh(x/(2ν))·a with a = ν·k matching: take the steady solution
+    u(x) = -tanh(x/(2ν)) which satisfies u u_x = ν u_xx."""
+    from neuralpde_tpu import MiniMaxAdaptiveLoss, QuadratureTraining
+
+    nu = 0.5
+    x, t = symbols("x t")
+    u = DepVar("u")
+    Dt = Differential(t)
+    Dx = Differential(x)
+    Dxx = Differential(x) ** 2
+    eq = Eq(Dt(u(x, t)) + u(x, t) * Dx(u(x, t)), nu * Dxx(u(x, t)))
+    # steady viscous shock: u(x, t) = -tanh(x/(2ν)), time-independent
+    bcs = [
+        Eq(u(x, 0.0), -npde.tanh(x / (2 * nu))),
+        Eq(u(-1.0, t), np.tanh(1.0 / (2 * nu))),
+        Eq(u(1.0, t), -np.tanh(1.0 / (2 * nu))),
+    ]
+    system = PDESystem(eq, bcs,
+                       [Domain(x, Interval(-1, 1)), Domain(t, Interval(0, 1))],
+                       [x, t], [u(x, t)])
+    disc = PhysicsInformedNN(mlp([2, 16, 16, 1]),
+                             QuadratureTraining(order=6, panels=4),
+                             adaptive_loss=MiniMaxAdaptiveLoss(100))
+    prob = discretize(system, disc)
+    res = solve(prob, optax.adam(0.02), maxiters=4000, inner_steps=25)
+    xs = np.linspace(-1, 1, 21)
+    ts = np.linspace(0, 1, 5)
+    X, T = np.meshgrid(xs, ts, indexing="ij")
+    cord = jnp.asarray(np.stack([X.reshape(-1), T.reshape(-1)]))
+    pred = np.asarray(disc.phi(cord, res.u["depvar"])[0]).reshape(21, 5)
+    want = -np.tanh(X / (2 * nu))
+    assert np.sqrt(np.mean((pred - want) ** 2)) < 0.05

@@ -78,3 +78,29 @@ def test_checkify_residual_catches_nan():
     err, out = checked(jnp.asarray(-1.0))
     with pytest.raises(Exception):
         err.throw()
+
+
+def test_tensorboard_logger_writes_events(tmp_path):
+    """Logger side-effects (reference: adaptive_loss tests assert TB log-dir
+    contents)."""
+    import optax
+    from neuralpde_tpu import (
+        DepVar, Differential, Domain, Eq, GridTraining, Interval, LogOptions,
+        PDESystem, PhysicsInformedNN, TensorBoardLogger, discretize, solve,
+        symbols,
+    )
+
+    t = symbols("t")
+    u = DepVar("u")
+    eq = Eq(Differential(t)(u(t)), -u(t))
+    system = PDESystem(eq, [Eq(u(0.0), 1.0)],
+                       [Domain(t, Interval(0, 1))], [t], [u(t)])
+    logdir = str(tmp_path / "tb")
+    logger = TensorBoardLogger(logdir)
+    disc = PhysicsInformedNN(mlp([1, 8, 1]), GridTraining(0.1),
+                             logger=logger, log_options=LogOptions(10))
+    prob = discretize(system, disc)
+    solve(prob, optax.adam(0.05), maxiters=30)
+    logger.flush()
+    files = os.listdir(logdir)
+    assert files, "no TensorBoard event files written"
