@@ -70,12 +70,19 @@ def sobol_bits(points: int, dim: int) -> np.ndarray:
     """First `points` Sobol points as uint32 bit patterns, shape (dim, points).
 
     Host-side static precompute (Gray-code construction); combine with
-    ``randomize_bits`` for per-step randomized QMC.
+    ``randomize_bits`` for per-step randomized QMC.  Dimensions beyond the
+    embedded Joe-Kuo table dispatch to the native C++ engine
+    (neuralpde_tpu.native) which searches primitive polynomials on the fly.
     """
     if dim > MAX_SOBOL_DIM:
+        from .. import native
+
+        if native.available():
+            return native.sobol_bits_native(points, dim)
         raise ValueError(
-            f"Sobol sampler supports up to {MAX_SOBOL_DIM} dims (got {dim}); "
-            "use 'lhs' or 'random' sampling for higher dimensions"
+            f"pure-Python Sobol supports up to {MAX_SOBOL_DIM} dims (got "
+            f"{dim}) and the native engine is unavailable; use 'lhs' or "
+            "'random' sampling"
         )
     v = _direction_numbers(dim)
     out = np.zeros((dim, points), dtype=np.uint64)
