@@ -143,7 +143,10 @@ def test_complex_ode():
 
     jax.config.update("jax_enable_x64", False)
     try:
-        _run_complex_ode()
+        # complex64 matmul is UNIMPLEMENTED on this TPU runtime (and can wedge
+        # the device) — run this test on the host CPU backend.
+        with jax.default_device(jax.devices("cpu")[0]):
+            _run_complex_ode()
     finally:
         jax.config.update("jax_enable_x64", True)
 
