@@ -63,6 +63,10 @@ def make_step(loss_fn, optimizer, adaloss=None, pde_loss_fns=(), bc_loss_fns=())
         kstep = jax.random.fold_in(key, it)
         lstate = {"key": kstep, "adaptive": ada_state}
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(theta, lstate)
+        # JAX returns Wirtinger-conjugate gradients for complex leaves;
+        # descent needs the conjugate (NNODE allows complex parameters)
+        grads = jax.tree.map(
+            lambda g: jnp.conj(g) if jnp.iscomplexobj(g) else g, grads)
 
         if every and adaloss is not None:
             def do_reweight(ada):
