@@ -18,8 +18,9 @@ from .nn.core import (
 )
 from .ops.derivatives import DerivativeEngine, jvp_derivative, numeric_derivative
 from .strategies import (
-    GridTraining, QuadratureTraining, QuasiRandomTraining, StochasticTraining,
-    TrainingStrategy, WeightedIntervalTraining, generate_training_sets, get_bounds,
+    GridTraining, QuadratureTraining, QuasiRandomTraining,
+    ResidualAdaptiveTraining, StochasticTraining, TrainingStrategy,
+    WeightedIntervalTraining, generate_training_sets, get_bounds,
 )
 from .adaptive import (
     AbstractAdaptiveLoss, GradientScaleAdaptiveLoss, MiniMaxAdaptiveLoss,

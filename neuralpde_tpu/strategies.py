@@ -252,3 +252,63 @@ class WeightedIntervalTraining(TrainingStrategy):
         raise ValueError(
             "WeightedIntervalTraining can only be used with ODEs (NNODE)"
         )
+
+
+class ResidualAdaptiveTraining(TrainingStrategy):
+    """Residual-based adaptive collocation sampling (beyond the reference).
+
+    Implements the RAD scheme of the adaptive-sampling PINN literature (see
+    PAPERS.md: "Provably Accurate Adaptive Sampling for Collocation Points",
+    "Efficient training of PINNs via importance sampling"): each step draws
+    `candidates` uniform points, computes the (gradient-blocked) residual
+    magnitude, and resamples `points` collocation points with probability
+    ∝ |r|^k + c·mean(|r|^k).  Everything stays in-graph — candidate
+    generation, categorical resampling, and the loss trace into the one
+    compiled train step.
+
+    BCs use plain uniform sampling (`bcs_points`).
+    """
+
+    def __init__(self, points: int, candidates: int | None = None,
+                 bcs_points: int | None = None, k: float = 1.0, c: float = 1.0):
+        self.points = points
+        self.candidates = candidates if candidates is not None else 4 * points
+        self.bcs_points = bcs_points if bcs_points is not None else points
+        self.k = k
+        self.c = c
+
+    def build(self, pinnrep, datafree_pde, datafree_bc):
+        dtype = pinnrep.dtype
+        pde_bounds = get_bounds(pinnrep.domains, pinnrep.pde_args, self.points, dtype)
+        bc_bounds = get_bounds(pinnrep.domains, pinnrep.bc_args, self.points, dtype)
+
+        def make_pde(residual, bound):
+            lb, ub = bound
+
+            def loss(theta, key):
+                kc, kr = jax.random.split(key)
+                cand = sampling.uniform_random(kc, self.candidates, lb, ub,
+                                               dtype=dtype)
+                r = jax.lax.stop_gradient(residual(cand, theta))
+                w = jnp.abs(r) ** self.k
+                w = w + self.c * jnp.mean(w)
+                idx = jax.random.categorical(
+                    kr, jnp.log(w + 1e-30), shape=(self.points,))
+                pts = shard_batch(cand[:, idx])
+                return jnp.mean(residual(pts, theta) ** 2)
+
+            return loss
+
+        def make_bc(residual, bound):
+            lb, ub = bound
+
+            def loss(theta, key):
+                pts = shard_batch(sampling.uniform_random(
+                    key, self.bcs_points, lb, ub, dtype=dtype))
+                return jnp.mean(residual(pts, theta) ** 2)
+
+            return loss
+
+        pde = [make_pde(f, b) for f, b in zip(datafree_pde, pde_bounds)]
+        bc = [make_bc(f, b) for f, b in zip(datafree_bc, bc_bounds)]
+        return pde, bc

@@ -153,3 +153,12 @@ def test_third_order_ode_pde_pipeline():
     pred = np.asarray(disc.phi(jnp.asarray(xs[None, :]), res.u["depvar"])[0])
     want = np.sin(np.pi * xs) / np.pi**3
     assert np.max(np.abs(pred - want)) < 0.02
+
+
+def test_residual_adaptive_training():
+    """RAD adaptive collocation sampling (beyond-reference strategy from the
+    PAPERS.md techniques) on 2D Poisson."""
+    from neuralpde_tpu import ResidualAdaptiveTraining
+
+    pred, want, _ = run_poisson(ResidualAdaptiveTraining(256, candidates=1024))
+    assert np.max(np.abs(pred - want)) < 0.02
