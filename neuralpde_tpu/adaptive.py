@@ -128,12 +128,18 @@ class MiniMaxAdaptiveLoss(AbstractAdaptiveLoss):
 
 
 class SoftAdaptAdaptiveLoss(AbstractAdaptiveLoss):
-    """Softmax over normalized loss rates-of-change (gradient-free)."""
+    """Softmax over normalized loss rates-of-change (gradient-free).
 
-    def __init__(self, reweight_every: int, alpha: float = 0.1, **kw):
+    ``smoothing`` EMA-mixes new weights with the previous ones (0.0 =
+    reference-exact direct assignment, src/adaptive_losses.jl:313-364; the
+    softmax can collapse to one-hot when near-converged losses fluctuate)."""
+
+    def __init__(self, reweight_every: int, alpha: float = 0.1,
+                 smoothing: float = 0.0, **kw):
         super().__init__(**kw)
         self.reweight_every = reweight_every
         self.alpha = alpha
+        self.smoothing = smoothing
 
     def init_state(self, n_pde, n_bc, dtype):
         s = self._base_state(n_pde, n_bc, dtype)
@@ -155,9 +161,10 @@ class SoftAdaptAdaptiveLoss(AbstractAdaptiveLoss):
         n = all_losses.shape[0]
         weights = _softmax(self.alpha * rates) * n
         n_pde = pde_losses.shape[0]
+        s = self.smoothing
         return {**state,
-                "pde_weights": weights[:n_pde],
-                "bc_weights": weights[n_pde:],
+                "pde_weights": s * state["pde_weights"] + (1 - s) * weights[:n_pde],
+                "bc_weights": s * state["bc_weights"] + (1 - s) * weights[n_pde:],
                 "prev_pde_losses": pde_losses,
                 "prev_bc_losses": bc_losses,
                 "initialized": jnp.array(True)}

@@ -49,7 +49,7 @@ ADALOSSES = [
     NonAdaptiveLoss(),
     GradientScaleAdaptiveLoss(100, pde_loss_weights=1e3, bc_loss_weights=1.0),
     MiniMaxAdaptiveLoss(100),
-    SoftAdaptAdaptiveLoss(100),
+    SoftAdaptAdaptiveLoss(100, smoothing=0.9),
     ReLoBRaLoAdaptiveLoss(100, alpha=0.5, smoothing=0.9),
 ]
 

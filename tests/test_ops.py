@@ -84,6 +84,14 @@ def test_parametric_1d_batched():
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(b) ** 2 / 2, rtol=1e-12)
 
 
-def test_sobol_dim_cap_errors():
-    with pytest.raises(ValueError):
-        sampling.sobol_bits(8, sampling.MAX_SOBOL_DIM + 1)
+def test_sobol_high_dim_dispatch():
+    """Above the Joe-Kuo table the sampler uses the native C++ engine (or
+    raises a clear error when no toolchain exists)."""
+    from neuralpde_tpu import native
+
+    if native.available():
+        bits = sampling.sobol_bits(8, sampling.MAX_SOBOL_DIM + 1)
+        assert bits.shape == (sampling.MAX_SOBOL_DIM + 1, 8)
+    else:
+        with pytest.raises(ValueError):
+            sampling.sobol_bits(8, sampling.MAX_SOBOL_DIM + 1)
