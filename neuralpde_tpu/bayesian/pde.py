@@ -6,8 +6,10 @@ Gaussian (SSE) loglikelihoods over grid/data points
 the flat HMC vector maps onto the per-depvar parameter pytrees
 (`setparameters`, reference: ext/bpinn/PDE_BPINN.jl:117-139).
 
-The optional `Dict_differentials` symbolic-collocation likelihood of the
-reference is not yet implemented (tracked for a later round).
+The reference's `Dict_differentials` symbolic-collocation likelihood is
+provided via ``estim_collocate=True`` — no user-supplied differential mask is
+needed since the IR distinguishes Deriv nodes structurally, and the per-row
+codegen of the reference becomes one batched residual evaluation.
 """
 
 from __future__ import annotations
@@ -28,11 +30,91 @@ from . import hmc
 from .ode import BPINNsolution, BPINNstats
 
 
+def _subst_plain_depvars(expr, mapping):
+    """Replace *plain* dependent-variable calls by placeholder Syms, leaving
+    Deriv subtrees intact — the masking step of the reference's `get_lossy`
+    (ext/bpinn/PDE_BPINN.jl:29-80), done structurally on the IR instead of
+    via Dict_differentials round-trip substitution."""
+    from ..symbolic.expr import Call, DepVarCall, Deriv, IntegralExpr
+
+    if isinstance(expr, DepVarCall) and expr.name in mapping:
+        return mapping[expr.name]
+    if isinstance(expr, Deriv):
+        return expr
+    if isinstance(expr, Call):
+        return Call(expr.op, tuple(_subst_plain_depvars(a, mapping)
+                                   for a in expr.args))
+    if isinstance(expr, IntegralExpr):
+        return IntegralExpr(_subst_plain_depvars(expr.integrand, mapping),
+                            expr.ivars, expr.lb, expr.ub)
+    return expr
+
+
+def build_data_collocation_logliks(pinnrep, dataset):
+    """Per-equation dataset-collocation loglikelihoods: equations with plain
+    depvar calls replaced by the observed data values, evaluated at the
+    dataset coordinates.
+
+    The reference compiles one RuntimeGeneratedFunction per dataset ROW per
+    equation (ext/bpinn/PDE_BPINN.jl:385-441); here each equation lowers
+    ONCE with placeholder symbols bound to extra cord rows holding the data
+    values, and all rows evaluate in a single batched call.
+    """
+    from ..compile.lower import LoweringContext, build_residual_function
+    from ..symbolic.expr import Eq, Sym
+
+    dtype = pinnrep.dtype
+    depvars = pinnrep.depvars
+    placeholders = {name: Sym(f"_data_{name}") for name in depvars}
+    ddi = pinnrep.dict_depvar_input
+
+    # data values per depvar (column 0), shared coordinate count assumed
+    # (reference indexes all depvars by dataset[1]'s rows)
+    values = {name: np.asarray(dataset[i])[:, 0]
+              for i, name in enumerate(depvars)}
+
+    ctx = LoweringContext(
+        depvars=depvars, indvars=pinnrep.indvars,
+        dict_depvar_input=ddi,
+        phis=[(p.apply if hasattr(p, "apply") else p)
+              for p in (pinnrep.phi if pinnrep.multioutput else [pinnrep.phi])],
+        multioutput=pinnrep.multioutput,
+        derivative=pinnrep.derivative, eq_params=pinnrep.eq_params,
+        param_estim=pinnrep.param_estim)
+
+    logliks = []
+    for eq, args in zip(pinnrep.eqs, pinnrep.pde_args):
+        masked = Eq(_subst_plain_depvars(eq.lhs, placeholders),
+                    _subst_plain_depvars(eq.rhs, placeholders))
+        arg_syms = [a for a in args if isinstance(a, Sym)]
+        layout = list(arg_syms) + [placeholders[n] for n in depvars]
+        residual = build_residual_function(masked, layout, ctx,
+                                           pinnrep.default_p)
+        # coordinates: the dataset of the depvar whose inputs match the args
+        coord_rows = None
+        for i, name in enumerate(depvars):
+            if ddi[name] == [a.name for a in arg_syms]:
+                coord_rows = np.asarray(dataset[i])[:, 1:].T
+                break
+        if coord_rows is None:
+            logliks.append(None)
+            continue
+        data_rows = np.stack([values[n] for n in depvars])
+        cord = jnp.asarray(np.vstack([coord_rows, data_rows]), dtype=dtype)
+
+        def loglik(theta, std, residual=residual, cord=cord):
+            r = residual(cord, theta)
+            return mvnormal_diag_logpdf(r, 0.0, jnp.asarray(std))
+
+        logliks.append(loglik)
+    return logliks
+
+
 class PDELogTargetDensity:
     """(reference: ext/bpinn/PDE_BPINN.jl:1-26)"""
 
     def __init__(self, pinnrep, dataset, priors_nn: Normal, param_priors,
-                 allstd, phynewstd):
+                 allstd, phynewstd, estim_collocate: bool = False):
         self.pinnrep = pinnrep
         self.dataset = dataset
         self.priors_nn = priors_nn
@@ -94,6 +176,10 @@ class PDELogTargetDensity:
             self.data_pde_sets = sets
             self.data_mats = [jnp.asarray(np.asarray(m), dtype=dtype)
                               for m in dataset]
+        self.colloc_logliks = None
+        if estim_collocate and dataset is not None:
+            self.colloc_logliks = build_data_collocation_logliks(
+                pinnrep, dataset)
 
     def setparameters(self, theta):
         nn = theta[:self.n_nn]
@@ -153,10 +239,25 @@ class PDELogTargetDensity:
             lp = lp + pr.logpdf(theta[self.n_nn + i])
         return lp
 
+    def L2_loss2(self, theta_struct):
+        """Dataset-collocation loglikelihood (reference: ext/bpinn/
+        PDE_BPINN.jl:422-440 `L2_loss2`)."""
+        if not self.colloc_logliks:
+            return 0.0
+        total = 0.0
+        for i, ll in enumerate(self.colloc_logliks):
+            if ll is None:
+                continue
+            total = total + ll(theta_struct, self.phynewstd[i])
+        return total
+
     def __call__(self, theta):
         ts = self.setparameters(theta)
-        return (self.full_loglikelihood(ts) + self.priorlogpdf(theta)
-                + self.L2LossData(ts))
+        out = (self.full_loglikelihood(ts) + self.priorlogpdf(theta)
+               + self.L2LossData(ts))
+        if self.colloc_logliks:
+            out = out + self.L2_loss2(ts)
+        return out
 
 
 def inference(samples, pinnrep, saveats, numensemble, ltd):
@@ -195,8 +296,13 @@ def ahmc_bayesian_pinn_pde(
         priorsNNw=(0.0, 2.0), param=(), nchains: int = 1, Kernel: str = "hmc",
         n_leapfrog: int = 30, target_accept: float = 0.8, max_depth: int = 10,
         saveats=(1 / 10.0,), numensemble: int | None = None, seed: int = 0,
+        estim_collocate: bool = False,
         progress: bool = False, verbose: bool = False) -> BPINNsolution:
-    """(reference: ext/bpinn/PDE_BPINN.jl:371-635)"""
+    """(reference: ext/bpinn/PDE_BPINN.jl:371-635).
+
+    ``estim_collocate=True`` enables the dataset-collocation loglikelihood —
+    the reference's Dict_differentials path, which here needs no user-supplied
+    differential mask (the IR distinguishes Deriv nodes structurally)."""
     pinnrep = symbolic_discretize(pde_system, discretization)
     dataset_pde, dataset_bc = discretization.dataset
 
@@ -226,7 +332,7 @@ def ahmc_bayesian_pinn_pde(
     priors_nn = Normal(float(priorsNNw[0]), float(priorsNNw[1]))
     ltd = PDELogTargetDensity(pinnrep, dataset, priors_nn, param,
                               [list(phystd), list(bcstd), list(l2std)],
-                              list(phynewstd))
+                              list(phynewstd), estim_collocate=estim_collocate)
 
     theta0 = ltd.init_flat_nn
     if param:

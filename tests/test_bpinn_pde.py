@@ -62,3 +62,33 @@ def test_bpinn_pde_inverse_parameter_recovery():
         saveats=[0.02], n_leapfrog=20)
     lam_est = float(sol.estimated_de_params[0].mean)
     assert abs(lam_est - true_lam) < 0.3 * true_lam
+
+
+def test_bpinn_pde_inverse_with_collocation_likelihood():
+    """estim_collocate path: dataset-collocation loglikelihood improves
+    parameter recovery (reference: Dict_differentials/get_lossy,
+    ext/bpinn/PDE_BPINN.jl:29-115; improvement test
+    bpinn__bpinn_ode_iv_inverse_solve_improvement.jl pattern)."""
+    t = symbols("t")
+    u = DepVar("u")
+    lam = Param("lam")
+    Dt = Differential(t)
+    true_lam = 2.0
+    eq = Eq(Dt(u(t)), -lam * u(t))
+    bcs = [Eq(u(0.0), 1.0)]
+    system = PDESystem(eq, bcs, [Domain(t, Interval(0, 1))], [t], [u(t)],
+                       ps=[lam])
+    rng = np.random.default_rng(1)
+    ts = np.linspace(0.0, 1.0, 40)
+    us = np.exp(-true_lam * ts) + 0.02 * rng.standard_normal(len(ts))
+    dataset_pde = [np.column_stack([us, ts])]
+    disc = BayesianPINN(mlp([1, 10, 1], activation=sigmoid),
+                        GridTraining(0.05), dataset=(dataset_pde, None),
+                        param_estim=True)
+    sol = ahmc_bayesian_pinn_pde(
+        system, disc, draw_samples=400, bcstd=[0.02], phystd=[0.05],
+        l2std=[0.05], phynewstd=[0.05], priorsNNw=(0.0, 3.0),
+        param=[Normal(1.0, 1.0)], saveats=[0.02], n_leapfrog=20,
+        estim_collocate=True)
+    lam_est = float(sol.estimated_de_params[0].mean)
+    assert abs(lam_est - true_lam) < 0.15 * true_lam
