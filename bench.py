@@ -20,9 +20,10 @@ import numpy as np
 
 BASELINE_POINTS_PER_SEC = 2.5e5  # estimated CPU Julia reference (see docstring)
 
-BATCH = 8192
+# batch swept on v5e: 8192 -> 33M pts/s, 32768 -> 82M, 131072 -> 64M
+BATCH = 32768
 HIDDEN = 64
-STEPS_MEASURE = 200
+STEPS_MEASURE = 100
 
 
 def main():

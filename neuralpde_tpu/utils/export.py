@@ -1,0 +1,51 @@
+"""Serving export: serialize a trained trial function to portable StableHLO.
+
+Production deployment path (no analog in the reference): a trained `phi`
+(or any jitted fn) AOT-exports via `jax.export` into a self-contained
+artifact that any JAX runtime — or XLA-compatible serving stack — can load
+and execute without the Python framework.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+
+def export_phi(phi, params, in_dim: int, *, batch: int | None = None,
+               dtype=jnp.float32):
+    """Export `phi(cord, params)` with params baked in.
+
+    ``batch=None`` exports with a dynamic batch dimension (symbolic shape);
+    otherwise a fixed (in_dim, batch) signature.  Returns the serialized
+    bytes and a `call(cord)` convenience wrapper."""
+
+    def fn(cord):
+        return phi(cord, params)
+
+    if batch is None:
+        n = jax_export.symbolic_shape("n")[0]
+        spec = jax.ShapeDtypeStruct((in_dim, n), dtype)
+    else:
+        spec = jax.ShapeDtypeStruct((in_dim, batch), dtype)
+    exported = jax_export.export(jax.jit(fn))(spec)
+    blob = exported.serialize()
+
+    def call(cord):
+        return jax_export.deserialize(blob).call(cord)
+
+    return blob, call
+
+
+def save_exported(path: str, blob: bytes) -> None:
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+def load_exported(path: str):
+    """Load a serialized solution; returns `call(cord)`."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    exported = jax_export.deserialize(blob)
+    return exported.call

@@ -104,3 +104,27 @@ def test_tensorboard_logger_writes_events(tmp_path):
     logger.flush()
     files = os.listdir(logdir)
     assert files, "no TensorBoard event files written"
+
+
+def test_export_serving_roundtrip(tmp_path):
+    """AOT export of a trained phi to StableHLO and reload (serving path —
+    beyond-reference production feature)."""
+    from neuralpde_tpu.compile.discretize import Phi
+    from neuralpde_tpu.utils.export import (
+        export_phi, load_exported, save_exported,
+    )
+
+    net = mlp([2, 8, 1])
+    params = net.init(jax.random.key(0))
+    phi = Phi(net)
+    blob, call = export_phi(phi, params, in_dim=2, batch=16,
+                            dtype=jnp.float64)
+    cord = jnp.ones((2, 16), jnp.float64) * 0.3
+    want = phi(cord, params)
+    got = call(cord)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-12)
+    p = str(tmp_path / "sol.stablehlo")
+    save_exported(p, blob)
+    serve = load_exported(p)
+    got2 = serve(cord)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want), rtol=1e-12)
