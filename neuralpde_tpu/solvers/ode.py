@@ -136,7 +136,7 @@ def generate_l2_loss_collocate(f, autodiff, dataset, phi, n_output, scalar_u0):
 
 
 def _strategy_loss(strategy, phi, f, autodiff, tspan, p, param_estim, scalar_u0,
-                   dtype, maxiters, abstol, reltol):
+                   dtype):
     t0, t1 = float(tspan[0]), float(tspan[1])
 
     if isinstance(strategy, GridTraining):
@@ -237,8 +237,7 @@ def solve_ode(prob: ODEProblem, alg: NNODE, *, dt=None, abstol: float = 1e-6,
             "Quadrature loss")
 
     inner_f = _strategy_loss(strategy, phi, prob.f, alg.autodiff, prob.tspan,
-                             prob.p, alg.param_estim, scalar_u0, dtype,
-                             maxiters, abstol, reltol)
+                             prob.p, alg.param_estim, scalar_u0, dtype)
     l2_data = generate_l2_loss_data(dataset, phi, n_output)
     l2_coll = generate_l2_loss_collocate(prob.f, alg.autodiff, dataset, phi,
                                          n_output, scalar_u0)

@@ -73,9 +73,9 @@ class ODESolution:
 
 
 def compute_ode_errors(sol_vals, exact_vals):
-    diff = np.asarray(sol_vals) - np.asarray(exact_vals)
+    diff = np.abs(np.asarray(sol_vals) - np.asarray(exact_vals))
     return {
         "l2": float(np.sqrt(np.mean(diff**2))),
-        "l_inf": float(np.max(np.abs(diff))),
+        "l_inf": float(np.max(diff)),
         "final": float(np.sqrt(np.sum(diff[-1] ** 2))),
     }

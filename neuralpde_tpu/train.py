@@ -162,8 +162,7 @@ def solve(prob, optimizer=None, maxiters: int = 1000, *,
 
     theta, opt_state, ada_state, _ = carry
     return SolveResult(u=theta, objective=loss_val, iterations=it,
-                       aux={**{k: v for k, v in aux.items()},
-                            "adaptive_state": ada_state},
+                       aux={**aux, "adaptive_state": ada_state},
                        history=history)
 
 
