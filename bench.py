@@ -50,7 +50,8 @@ def main():
                        [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))],
                        [x, y], [u(x, y)])
     disc = PhysicsInformedNN(mlp([2, HIDDEN, HIDDEN, 1]),
-                             StochasticTraining(BATCH, bcs_points=BATCH // 8))
+                             StochasticTraining(BATCH, bcs_points=BATCH // 8),
+                             derivative="jet")  # Taylor-mode: +4% vs nested jvp
     prob = discretize(system, disc)
 
     opt = optax.adam(1e-3)

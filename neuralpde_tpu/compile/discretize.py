@@ -68,7 +68,7 @@ class PhysicsInformedNN:
                  adaptive_loss: AbstractAdaptiveLoss | None = None,
                  logger=None, log_options: LogOptions | None = None,
                  seed: int = 0, integral_order: int = 20, integral_panels: int = 1,
-                 dtype=None):
+                 dtype=None, remat: bool = False):
         self.multioutput = isinstance(chain, (list, tuple))
         self.chain = list(chain) if self.multioutput else chain
         self.strategy = strategy
@@ -86,6 +86,9 @@ class PhysicsInformedNN:
         self.integral_order = integral_order
         self.integral_panels = integral_panels
         self.dtype = dtype
+        # rematerialize residual activations in the backward pass — trades
+        # FLOPs for HBM at very large collocation batches
+        self.remat = remat
         chains = self.chain if self.multioutput else [self.chain]
         self.phi = [Phi(c) for c in chains] if self.multioutput else Phi(self.chain)
 
@@ -272,6 +275,9 @@ def symbolic_discretize(pde_system: PDESystem,
                     for eq, lay in zip(eqs, pde_layouts)]
     datafree_bc = [build_residual_function(bc, lay, ctx, default_p)
                    for bc, lay in zip(bcs, bc_layouts)]
+    if discretization.remat:
+        datafree_pde = [jax.checkpoint(f) for f in datafree_pde]
+        datafree_bc = [jax.checkpoint(f) for f in datafree_bc]
 
     pde_loss_functions, bc_loss_functions = discretization.strategy.build(
         pinnrep, datafree_pde, datafree_bc)

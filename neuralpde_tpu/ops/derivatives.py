@@ -81,6 +81,22 @@ def numeric_derivative(u: Callable[[Array], Array], x: Array,
     raise ValueError(f"invalid derivative order {order}")
 
 
+def jet_derivative(u: Callable[[Array], Array], x: Array,
+                   var_index: int, order: int) -> Array:
+    """Pure k-th partial via Taylor-mode AD (jax.experimental.jet).
+
+    One jet evaluation propagates the whole truncated Taylor series, sharing
+    the primal across orders — cheaper than `order` nested jvps for pure
+    (single-direction) partials of order ≥ 2.
+    """
+    from jax.experimental import jet
+
+    tangent = jnp.zeros_like(x).at[var_index, :].set(1.0)
+    series = [tangent] + [jnp.zeros_like(x) for _ in range(order - 1)]
+    _, coeffs = jet.jet(u, (x,), (series,))
+    return coeffs[order - 1]
+
+
 def jvp_derivative(u: Callable[[Array], Array], x: Array,
                    var_indices: Sequence[int], dim: int) -> Array:
     """Exact mixed partial via nested forward-mode AD.
@@ -102,17 +118,23 @@ def jvp_derivative(u: Callable[[Array], Array], x: Array,
 class DerivativeEngine:
     """Pluggable derivative backend shared by the lowering pipeline.
 
-    ``mode`` ∈ {"jvp", "fd"}.  The lowering calls
+    ``mode`` ∈ {"jvp", "fd", "jet"}.  The lowering calls
     ``engine(u, x, var_indices, dim)`` where ``u`` already closes over θ.
+    "jet" uses Taylor-mode AD for pure partials (shares the primal across
+    orders) and falls back to nested jvp for mixed partials.
     """
 
     def __init__(self, mode: str = "jvp"):
-        if mode not in ("jvp", "fd"):
+        if mode not in ("jvp", "fd", "jet"):
             raise ValueError(f"unknown derivative mode {mode!r}")
         self.mode = mode
 
     def __call__(self, u, x, var_indices, dim):
-        if self.mode == "jvp":
-            return jvp_derivative(u, x, tuple(var_indices), dim)
+        var_indices = tuple(var_indices)
+        if (self.mode == "jet" and len(set(var_indices)) == 1
+                and len(var_indices) >= 2):
+            return jet_derivative(u, x, var_indices[0], len(var_indices))
+        if self.mode in ("jvp", "jet"):
+            return jvp_derivative(u, x, var_indices, dim)
         masks = eps_masks(dim, var_indices, x.dtype)
         return numeric_derivative(u, x, masks, len(var_indices))

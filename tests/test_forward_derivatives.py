@@ -88,3 +88,29 @@ def test_fd_differentiable_in_reverse_mode(cord):
 
     g = jax.grad(loss)(w)
     assert np.isfinite(float(g))
+
+
+@pytest.mark.parametrize("name,vi", [("dxx", [0, 0]), ("dyy", [1, 1]),
+                                     ("dxxx", [0, 0, 0]),
+                                     ("dxy", [0, 1])])
+def test_jet_derivative_engine(cord, name, vi):
+    """Taylor-mode backend matches analytic (pure partials via jet, mixed
+    falls back to nested jvp)."""
+    eng = DerivativeEngine("jet")
+    got = eng(f_scalar, cord, vi, 2)[0]
+    np.testing.assert_allclose(np.asarray(got), analytic(cord, name),
+                               rtol=1e-7, atol=1e-8)
+
+
+def test_jet_engine_reverse_differentiable(cord):
+    eng = DerivativeEngine("jet")
+    w = jnp.asarray(1.1)
+
+    def loss(w):
+        def u(x):
+            return (jnp.sin(w * x[0]) * x[1])[None, :]
+
+        return jnp.sum(eng(u, cord, [0, 0], 2) ** 2)
+
+    g = jax.grad(loss)(w)
+    assert np.isfinite(float(g))

@@ -162,3 +162,13 @@ def test_residual_adaptive_training():
 
     pred, want, _ = run_poisson(ResidualAdaptiveTraining(256, candidates=1024))
     assert np.max(np.abs(pred - want)) < 0.02
+
+
+def test_remat_option():
+    """jax.checkpoint rematerialization of residuals (memory/FLOP tradeoff
+    for very large collocation batches — TPU HBM management)."""
+    system, _ = poisson_system()
+    disc = PhysicsInformedNN(mlp([2, 8, 1]), GridTraining(0.2), remat=True)
+    prob = discretize(system, disc)
+    res = solve(prob, optax.adam(0.05), maxiters=100, inner_steps=25)
+    assert np.isfinite(res.objective)
