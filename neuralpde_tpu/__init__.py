@@ -31,7 +31,8 @@ from .compile.discretize import (
     TrainingProblem, discretize, symbolic_discretize,
 )
 from .compile.lower import (
-    build_residual_function, get_argument, get_integration_variables, get_variables,
+    build_loss_function, build_residual_function, get_argument,
+    get_integration_variables, get_numeric_integral, get_variables,
 )
 from .train import SolveResult, solve
 from .utils.pytree import vector_to_parameters, parameters_to_vector

@@ -264,6 +264,21 @@ def _ev_integral(expr: IntegralExpr, env, theta, p, ctx, N):
 # Public entry: build the residual closure for one equation
 # ---------------------------------------------------------------------------
 
+def get_numeric_integral(ctx: LoweringContext, default_p=None):
+    """Debugging helper (reference export: src/discretize.jl:332-396): returns
+    ``integral(expr, cord, theta, env_syms)`` evaluating an IntegralExpr at the
+    columns of ``cord`` (rows bound to ``env_syms`` in order)."""
+    p_arr = None if default_p is None else jnp.asarray(default_p)
+
+    def integral(expr: IntegralExpr, cord, theta, env_syms: Sequence[Sym]):
+        cord = jnp.atleast_2d(jnp.asarray(cord))
+        N = cord.shape[1]
+        env = {s.name: cord[i] for i, s in enumerate(env_syms)}
+        return _ev_integral(expr, env, theta, p_arr, ctx, N)
+
+    return integral
+
+
 def build_residual_function(eq: Eq, row_layout: Sequence, ctx: LoweringContext,
                             default_p=None) -> Callable:
     """Lower one equation into ``residual(cord, theta) -> (N,)``.
@@ -284,3 +299,7 @@ def build_residual_function(eq: Eq, row_layout: Sequence, ctx: LoweringContext,
         return jnp.broadcast_to(jnp.asarray(out), (N,))
 
     return residual
+
+
+# reference export-name alias (src/NeuralPDE.jl:90-116 exports build_loss_function)
+build_loss_function = build_residual_function

@@ -61,7 +61,8 @@ REFERENCE_EXPORTS = [
     "neural_adapter",
     "GridTraining", "StochasticTraining", "QuadratureTraining",
     "QuasiRandomTraining", "WeightedIntervalTraining",
-    "build_residual_function",           # build_loss_function analog
+    "build_residual_function", "build_loss_function",
+    "get_numeric_integral",
     "generate_training_sets", "get_bounds",
     "get_variables", "get_argument", "get_integration_variables",
     "symbolic_discretize", "vector_to_parameters",
