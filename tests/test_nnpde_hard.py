@@ -1,0 +1,109 @@
+"""Hard forward-PDE cases from the reference suite: the 4-depvar
+heterogeneous system with permuted inputs (nnpde__pde_i_heterogeneous_system.jl)
+and 4th-order Kuramoto-Sivashinsky (docs/src/examples/ks.md)."""
+
+import numpy as np
+import jax.numpy as jnp
+import optax
+import pytest
+
+import neuralpde_tpu as npde
+from neuralpde_tpu import (
+    DepVar, Differential, Domain, Eq, GridTraining, Interval, PDESystem,
+    PhysicsInformedNN, discretize, mlp, solve, symbols,
+)
+
+
+def test_heterogeneous_system_permuted_inputs():
+    """u(x,y,z), v(y,x) [permuted!], h(z), p(x,z) coupled in one equation
+    (reference: test/NNPDE1/nnpde__pde_i_heterogeneous_system.jl)."""
+    x, y, z = symbols("x y z")
+    u, v, h, p = DepVar("u"), DepVar("v"), DepVar("h"), DepVar("p")
+    Dz = Differential(z)
+    eqs = [
+        Eq(u(x, y, z), x + y + z),
+        Eq(v(y, x), x**2 + y**2),
+        Eq(h(z), npde.cos(z)),
+        Eq(p(x, z), npde.exp(x) * npde.exp(z)),
+        Eq(u(x, y, z) + v(y, x) * Dz(h(z)) - p(x, z),
+           x + y + z - (x**2 + y**2) * npde.sin(z)
+           - npde.exp(x) * npde.exp(z)),
+    ]
+    bcs = [Eq(u(0.0, 0.0, 0.0), 0.0)]
+    domains = [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1)),
+               Domain(z, Interval(0, 1))]
+    system = PDESystem(eqs, bcs, domains, [x, y, z],
+                       [u(x, y, z), v(y, x), h(z), p(x, z)])
+    chains = [mlp([3, 12, 12, 1]), mlp([2, 12, 12, 1]),
+              mlp([1, 12, 12, 1]), mlp([2, 12, 12, 1])]
+    disc = PhysicsInformedNN(chains, GridTraining(0.1))
+    prob = discretize(system, disc)
+    res = solve(prob, optax.adam(0.02), maxiters=4000, inner_steps=25)
+
+    pts = np.random.default_rng(0).uniform(0.1, 0.9, size=(3, 50))
+    X, Y, Z = pts
+    dep = res.u["depvar"]
+    pu = np.asarray(disc.phi[0](jnp.asarray(pts), dep["u"])[0])
+    pv = np.asarray(disc.phi[1](jnp.asarray(np.stack([Y, X])), dep["v"])[0])
+    ph = np.asarray(disc.phi[2](jnp.asarray(Z[None, :]), dep["h"])[0])
+    pp = np.asarray(disc.phi[3](jnp.asarray(np.stack([X, Z])), dep["p"])[0])
+    assert np.max(np.abs(pu - (X + Y + Z))) < 0.1
+    assert np.max(np.abs(pv - (X**2 + Y**2))) < 0.1
+    assert np.max(np.abs(ph - np.cos(Z))) < 0.05
+    assert np.max(np.abs(pp - np.exp(X) * np.exp(Z))) < 0.25
+
+
+@pytest.mark.slow
+def test_kuramoto_sivashinsky_fourth_order():
+    """KS equation with 4th-order spatial derivative, solitary-wave solution
+    (reference: docs/src/examples/ks.md): u_t + u·u_x + α u_xx + β u_xxx +
+    γ u_xxxx = 0 with exact tanh-profile BCs."""
+    a, b, g = 1.0, 4.0, 1.0
+    x, t = symbols("x t")
+    u = DepVar("u")
+    Dt = Differential(t)
+    Dx = Differential(x)
+    Dx2 = Differential(x) ** 2
+    Dx3 = Differential(x) ** 3
+    Dx4 = Differential(x) ** 4
+
+    def u_analytic_np(xv, tv):
+        zv = -xv / 2 + tv
+        th = np.tanh(zv)
+        return 11 + 15 * th - 15 * th**2 - 15 * th**3
+
+    def u_analytic_sym(xe, te):
+        ze = -xe / 2.0 + te
+        th = npde.tanh(ze)
+        return 11.0 + 15.0 * th - 15.0 * th**2 - 15.0 * th**3
+
+    def du_sym(xe, te):
+        ze = -xe / 2.0 + te
+        th = npde.tanh(ze)
+        sech2 = 1.0 - th**2
+        return 15.0 / 2.0 * (th + 1.0) * (3.0 * th - 1.0) * sech2
+
+    eq = Eq(Dt(u(x, t)) + u(x, t) * Dx(u(x, t)) + a * Dx2(u(x, t))
+            + b * Dx3(u(x, t)) + g * Dx4(u(x, t)), 0.0)
+    bcs = [
+        Eq(u(x, 0.0), u_analytic_sym(x, 0.0)),
+        Eq(u(-10.0, t), u_analytic_sym(-10.0, t)),
+        Eq(u(10.0, t), u_analytic_sym(10.0, t)),
+        Eq(Dx(u(-10.0, t)), du_sym(-10.0, t)),
+        Eq(Dx(u(10.0, t)), du_sym(10.0, t)),
+    ]
+    system = PDESystem(eq, bcs,
+                       [Domain(x, Interval(-10, 10)), Domain(t, Interval(0, 1))],
+                       [x, t], [u(x, t)])
+    disc = PhysicsInformedNN(mlp([2, 16, 16, 16, 1]), GridTraining([0.4, 0.1]))
+    prob = discretize(system, disc)
+    res = solve(prob, optax.adam(0.01), maxiters=6000, inner_steps=25)
+
+    xs = np.linspace(-10, 10, 41)
+    ts_ = np.linspace(0, 1, 5)
+    X, T = np.meshgrid(xs, ts_, indexing="ij")
+    cord = jnp.asarray(np.stack([X.ravel(), T.ravel()]))
+    pred = np.asarray(disc.phi(cord, res.u["depvar"])[0]).reshape(41, 5)
+    want = u_analytic_np(X, T)
+    rel = np.sqrt(np.mean((pred - want) ** 2)) / np.sqrt(np.mean(want**2))
+    assert rel < 0.2
