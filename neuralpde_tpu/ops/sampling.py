@@ -139,3 +139,31 @@ def uniform_random(key, points: int, lb, ub, dtype=None):
     ub = jnp.asarray(ub, dtype=dtype)
     u = jax.random.uniform(key, (lb.shape[0], points), dtype=lb.dtype)
     return u * (ub[:, None] - lb[:, None]) + lb[:, None]
+
+
+def lattice_rule_bits(points: int, dim: int) -> np.ndarray:
+    """Rank-1 lattice rule (Korobov construction) in fixed point, shape
+    (dim, points) — the LatticeRuleSample analog of the reference's
+    QuasiMonteCarlo options (src/training_strategies.jl:266-289).
+
+    x_i = frac(i * z / n) with generating vector z_j = a^j mod n for a a
+    Fibonacci-ish multiplier; returned as uint32 fixed-point so the same
+    `randomize_bits`/`bits_to_unit` pipeline applies (random shift = XOR on
+    high bits ~ Cranley-Patterson rotation up to quantization).
+    """
+    # Kronecker construction: alpha_j = frac(sqrt(p_j)) for distinct primes —
+    # valid for any n (Korobov vectors degrade badly for power-of-two n)
+    primes = []
+    c = 2
+    while len(primes) < dim:
+        if all(c % q for q in primes):
+            primes.append(c)
+        c += 1
+    alpha = np.sqrt(np.asarray(primes, dtype=np.float64)) % 1.0
+    # first dimension stays the regular grid i/n
+    i = np.arange(points, dtype=np.float64)
+    mat = np.empty((dim, points), dtype=np.float64)
+    mat[0] = i / points
+    for j in range(1, dim):
+        mat[j] = (i * alpha[j - 1]) % 1.0
+    return (mat * 2.0**32).astype(np.uint32)

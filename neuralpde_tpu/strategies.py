@@ -128,8 +128,8 @@ class QuasiRandomTraining(TrainingStrategy):
     def __init__(self, points: int, bcs_points: int | None = None,
                  sampling_alg: str = "lhs", resampling: bool = True,
                  minibatch: int = 0):
-        if sampling_alg not in ("lhs", "sobol"):
-            raise ValueError("sampling_alg must be 'lhs' or 'sobol'")
+        if sampling_alg not in ("lhs", "sobol", "lattice"):
+            raise ValueError("sampling_alg must be 'lhs', 'sobol' or 'lattice'")
         self.points = points
         self.bcs_points = bcs_points if bcs_points is not None else points
         self.sampling_alg = sampling_alg
@@ -142,8 +142,10 @@ class QuasiRandomTraining(TrainingStrategy):
         bc_bounds = get_bounds(pinnrep.domains, pinnrep.bc_args, self.points, dtype)
 
         def sample_fn(n, lb, ub):
-            if self.sampling_alg == "sobol":
-                base = sampling.sobol_bits(n, lb.shape[0])
+            if self.sampling_alg in ("sobol", "lattice"):
+                base = (sampling.sobol_bits(n, lb.shape[0])
+                        if self.sampling_alg == "sobol"
+                        else sampling.lattice_rule_bits(n, lb.shape[0]))
 
                 def s(key):
                     return sampling.sobol_sample(base, lb, ub, key=key, dtype=dtype)

@@ -95,9 +95,12 @@ def test_kuramoto_sivashinsky_fourth_order():
     system = PDESystem(eq, bcs,
                        [Domain(x, Interval(-10, 10)), Domain(t, Interval(0, 1))],
                        [x, t], [u(x, t)])
-    disc = PhysicsInformedNN(mlp([2, 16, 16, 16, 1]), GridTraining([0.4, 0.1]))
+    disc = PhysicsInformedNN(mlp([2, 32, 32, 1]), GridTraining([0.4, 0.1]))
     prob = discretize(system, disc)
-    res = solve(prob, optax.adam(0.01), maxiters=6000, inner_steps=25)
+    # Adam warmup then L-BFGS polish (reference uses BFGS, ks.md)
+    res = solve(prob, optax.adam(0.01), maxiters=3000, inner_steps=25)
+    res = solve(prob.with_params(res.u), optax.lbfgs(), maxiters=600,
+                inner_steps=10)
 
     xs = np.linspace(-10, 10, 41)
     ts_ = np.linspace(0, 1, 5)

@@ -95,3 +95,14 @@ def test_sobol_high_dim_dispatch():
     else:
         with pytest.raises(ValueError):
             sampling.sobol_bits(8, sampling.MAX_SOBOL_DIM + 1)
+
+
+def test_lattice_rule_sampler():
+    bits = sampling.lattice_rule_bits(128, 3)
+    u = np.asarray(sampling.bits_to_unit(jnp.asarray(bits)))
+    assert u.shape == (3, 128)
+    assert u.min() >= 0 and u.max() < 1
+    # rank-1 lattice: first dimension is i/n exactly
+    np.testing.assert_allclose(np.sort(u[0]), np.arange(128) / 128, atol=1e-5)
+    # integrates smooth products well
+    assert abs((u[1] * u[2]).mean() - 0.25) < 1e-2
