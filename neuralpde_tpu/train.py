@@ -100,9 +100,16 @@ def make_step(loss_fn, optimizer, adaloss=None, pde_loss_fns=(), bc_loss_fns=())
 
 def solve(prob, optimizer=None, maxiters: int = 1000, *,
           callback: Callable | None = None, abstol: float | None = None,
-          key=None, inner_steps: int = 1, verbose: bool = False):
+          key=None, inner_steps: int = 1, verbose: bool = False,
+          checkpoint_dir: str | None = None, checkpoint_every: int = 1000,
+          profile_dir: str | None = None):
     """Train a `TrainingProblem` (from `discretize`) or any object with
-    `.loss(theta, lstate)` and `.init_params`."""
+    `.loss(theta, lstate)` and `.init_params`.
+
+    ``checkpoint_dir`` periodically saves params/opt-state/iteration (and once
+    at the end) for preemption-safe long runs; restore with
+    `utils.checkpoint.restore_checkpoint` + `prob.with_params`.
+    ``profile_dir`` captures a jax.profiler trace of the run."""
 
     optimizer = optimizer or optax.adam(1e-3)
     key = key if key is not None else jax.random.key(0)
@@ -142,6 +149,8 @@ def solve(prob, optimizer=None, maxiters: int = 1000, *,
     log_frequency = (pinnrep.log_options.log_frequency
                      if pinnrep is not None else 50)
 
+    if profile_dir is not None:
+        jax.profiler.start_trace(profile_dir)
     carry = (theta, opt_state, ada_state, jnp.asarray(0, jnp.int32))
     history = []
     loss_val, aux = None, {}
@@ -157,10 +166,20 @@ def solve(prob, optimizer=None, maxiters: int = 1000, *,
             _log_metrics(logger, aux, it)
         if callback is not None and callback(it, loss_val, aux):
             break
+        if checkpoint_dir is not None and it % checkpoint_every < inner_steps:
+            from .utils.checkpoint import save_checkpoint
+
+            save_checkpoint(checkpoint_dir, carry[0], carry[1], iteration=it)
         if abstol is not None and loss_val < abstol:
             break
 
     theta, opt_state, ada_state, _ = carry
+    if profile_dir is not None:
+        jax.profiler.stop_trace()
+    if checkpoint_dir is not None:
+        from .utils.checkpoint import save_checkpoint
+
+        save_checkpoint(checkpoint_dir, theta, opt_state, iteration=it)
     return SolveResult(u=theta, objective=loss_val, iterations=it,
                        aux={**aux, "adaptive_state": ada_state},
                        history=history)

@@ -128,3 +128,30 @@ def test_export_serving_roundtrip(tmp_path):
     serve = load_exported(p)
     got2 = serve(cord)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want), rtol=1e-12)
+
+
+def test_solve_checkpointing(tmp_path):
+    import optax
+    from neuralpde_tpu import (
+        DepVar, Differential, Domain, Eq, GridTraining, Interval, PDESystem,
+        PhysicsInformedNN, discretize, solve,
+    )
+    from neuralpde_tpu import symbols
+    from neuralpde_tpu.utils.checkpoint import restore_checkpoint
+
+    t = symbols("t")
+    u = DepVar("u")
+    eq = Eq(Differential(t)(u(t)), -u(t))
+    system = PDESystem(eq, [Eq(u(0.0), 1.0)],
+                       [Domain(t, Interval(0, 1))], [t], [u(t)])
+    disc = PhysicsInformedNN(mlp([1, 8, 1]), GridTraining(0.1))
+    prob = discretize(system, disc)
+    ckpt = str(tmp_path / "run1")
+    res = solve(prob, optax.adam(0.05), maxiters=50, inner_steps=25,
+                checkpoint_dir=ckpt)
+    params, _, it = restore_checkpoint(ckpt, res.u)
+    assert it == 50
+    # resume training from the checkpoint
+    res2 = solve(prob.with_params(params), optax.adam(0.05), maxiters=25,
+                 inner_steps=25)
+    assert np.isfinite(res2.objective)
