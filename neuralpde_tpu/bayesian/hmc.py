@@ -124,27 +124,22 @@ def _hmc_transition(logdensity, grad_fn, kernel, n_leapfrog, lam, max_depth):
         v0 = value_fn(q)
         h0 = v0 - 0.5 * jnp.sum(p * p * inv_mass)
         if kernel == "hmcda":
-            n_steps = jnp.maximum(
-                1, jnp.round(lam / eps).astype(jnp.int32))
-            # lax.scan needs static length: cap and mask
-            cap = 1024
+            n_steps = jnp.minimum(
+                jnp.maximum(1, jnp.round(lam / eps).astype(jnp.int32)), 4096)
 
-            def body(carry, i):
-                q_, p_ = carry
-                do = i < n_steps
+            def cond(carry):
+                i, _, _ = carry
+                return i < n_steps
 
-                def step(qp):
-                    q__, p__ = qp
-                    p__ = p__ + 0.5 * eps * grad_fn(q__)
-                    q__ = q__ + eps * inv_mass * p__
-                    p__ = p__ + 0.5 * eps * grad_fn(q__)
-                    return q__, p__
+            def body(carry):
+                i, q_, p_ = carry
+                p_ = p_ + 0.5 * eps * grad_fn(q_)
+                q_ = q_ + eps * inv_mass * p_
+                p_ = p_ + 0.5 * eps * grad_fn(q_)
+                return i + 1, q_, p_
 
-                q_, p_ = jax.lax.cond(do, step, lambda qp: qp, (q_, p_))
-                return (q_, p_), None
-
-            (q_new, p_new), _ = jax.lax.scan(body, (q, p),
-                                             jnp.arange(cap))
+            _, q_new, p_new = jax.lax.while_loop(
+                cond, body, (jnp.asarray(0, jnp.int32), q, p))
         else:
             q_new, p_new = _leapfrog(grad_fn, q, p, eps, inv_mass, n_leapfrog)
         v_new = value_fn(q_new)

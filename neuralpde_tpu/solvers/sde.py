@@ -323,8 +323,28 @@ def solve_sde(prob: SDEProblem, alg: NNSDE, *, dt=None, abstol: float = 1e-6,
                 dataset, n_z, phi, prob.f, prob.g, alg.autodiff, prob.p,
                 alg.param_estim, dsb, strong, scalar_u0, dtype, alg.seed)
 
+    tstops_inputs = None
+    if tstops is not None:
+        # blend extra timepoints into the physics loss (reference intent:
+        # src/NN_SDE_solve.jl:659-687; the reference helper references an
+        # undefined `ts` — here implemented like the NNODE blending)
+        ts_extra = jnp.asarray(np.asarray(tstops, dtype=np.float64) / t_end,
+                               dtype=dtype)
+        mk = add_rand_coeff_2 if strong else add_rand_coeff
+        tstops_inputs = mk(jax.random.key(alg.seed + 29), ts_extra, n_z,
+                           alg.sub_batch, dtype)
+
     def total_loss(theta, lkey):
         loss = inner_f(theta, lkey)
+        if tstops_inputs is not None:
+            ts_loss = inner_sde_loss(phi, prob.f, prob.g, alg.autodiff,
+                                     tstops_inputs, theta, prob.p,
+                                     alg.param_estim, strong, scalar_u0)
+            n_ts = tstops_inputs.shape[1]
+            if n_orig is not None:
+                loss = (loss * n_orig + ts_loss * n_ts) / (n_orig + n_ts)
+            else:
+                loss = loss + ts_loss
         if alg.additional_loss is not None:
             loss = loss + alg.additional_loss(phi, theta)
         if alg.param_estim and em_loss is not None:

@@ -87,3 +87,27 @@ def test_find_good_stepsize_finite():
 
     eps = hmc.find_good_stepsize(logdensity, jnp.zeros(3), jax.random.key(0))
     assert 1e-6 < eps < 1e3
+
+
+def test_hmcda_kernel():
+    """HMCDA (trajectory-length) kernel sanity on a Gaussian."""
+    def logdensity(q):
+        return -0.5 * jnp.sum(q**2)
+
+    res = hmc.sample(logdensity, jnp.zeros(2) + 1.5, jax.random.key(0),
+                     draw_samples=800, kernel="hmcda", lam=1.0,
+                     init_step_size=0.3)
+    tail = np.asarray(res.samples[550:])
+    np.testing.assert_allclose(tail.mean(0), [0.0, 0.0], atol=0.35)
+    np.testing.assert_allclose(tail.std(0), [1.0, 1.0], rtol=0.35)
+
+
+def test_bnnode_multichain():
+    """nchains > 1 returns stacked chains (reference: Threads.@threads
+    loop; here sequential/vmappable)."""
+    prob = ODEProblem(f=lambda u, p, t: -u, u0=1.0, tspan=(0.0, 1.0))
+    chain = mlp([1, 6, 1])
+    samples, stats, ltd = ahmc_bayesian_pinn_ode(
+        prob, chain, draw_samples=120, phystd=(0.05,), priorsNNw=(0.0, 3.0),
+        nchains=2, n_leapfrog=10)
+    assert samples.shape[0] == 2 and samples.shape[1] == 120

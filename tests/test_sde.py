@@ -102,3 +102,13 @@ def test_sdepinn_fokker_planck_ou():
     # normalized shape comparison (loose: small net, short training)
     dens_n = dens / np.trapezoid(dens, xs)
     assert np.max(np.abs(dens_n - want)) < 0.35
+
+
+def test_nnsde_tstops_blending():
+    prob = SDEProblem(f=lambda u, p, t: -u, g=lambda u, p, t: 0.1,
+                      u0=1.0, tspan=(0.0, 1.0))
+    chain = mlp([3, 10, 1], activation=sigmoid)
+    alg = NNSDE(chain, optax.adam(0.02), sub_batch=4)
+    sol = solve_sde(prob, alg, dt=1 / 20, maxiters=300, abstol=1e-12,
+                    tstops=[0.33, 0.66], inner_steps=25)
+    assert np.isfinite(sol.original.objective)
