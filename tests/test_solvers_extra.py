@@ -107,3 +107,32 @@ def test_neural_adapter_transfer():
     xs = jnp.linspace(0, 1, 50)[None, :]
     pred = np.asarray(net2.apply(res.u, xs)[0])
     assert np.max(np.abs(pred - np.sin(2 * np.asarray(xs[0])))) < 0.05
+
+
+def test_neural_adapter_domain_decomposition():
+    """Array method: one network trained against per-subdomain losses summed
+    (reference: src/neural_adapter.jl:91-99, test/NeuralAdapter domain
+    decomposition)."""
+    x = symbols("x")
+    u = DepVar("u")
+    sys_left = PDESystem([Eq(u(x), 0.0)], [Eq(u(0.0), 0.0)],
+                         [Domain(x, Interval(0.0, 0.5))], [x], [u(x)])
+    sys_right = PDESystem([Eq(u(x), 0.0)], [Eq(u(0.0), 0.0)],
+                          [Domain(x, Interval(0.5, 1.0))], [x], [u(x)])
+    net = mlp([1, 16, 1])
+    params0 = net.init(jax.random.key(5))
+
+    def make_loss(target_fn):
+        def loss(cord, theta):
+            return (net.apply(theta, cord) - target_fn(cord))[0]
+        return loss
+
+    # piecewise targets on the two subdomains (e.g. two pre-trained PINNs)
+    left = make_loss(lambda c: jnp.sin(2 * c[0:1]))
+    right = make_loss(lambda c: jnp.sin(2 * c[0:1]))
+    prob = neural_adapter([left, right], params0, [sys_left, sys_right],
+                          GridTraining(0.02))
+    res = solve(prob, optax.adam(0.02), maxiters=1500, inner_steps=25)
+    xs = jnp.linspace(0, 1, 50)[None, :]
+    pred = np.asarray(net.apply(res.u, xs)[0])
+    assert np.max(np.abs(pred - np.sin(2 * np.asarray(xs[0])))) < 0.05
