@@ -80,32 +80,55 @@ def _stochastic_trainset(key, bounds, n_params, tspan, n_t, dtype):
 
 
 def _losses(phi: PINOPhi, prob: ODEProblem, p, t, theta):
-    """physics + IC loss at trainset (p, t); u(p,t) shaped (T, P)."""
+    """physics + IC loss at trainset (p, t).
+
+    DeepONet mode: scalar u only (u(p,t) shaped (T, P)).  MLP mode supports
+    vector u0 (chain out_dim = n_out): outputs shaped (n_out, P, T)."""
     n_b, P = p.shape
     T = t.shape[1]
+    u0_arr = jnp.atleast_1d(jnp.asarray(prob.u0))
+    n_out = u0_arr.shape[0]
+    scalar_u = jnp.ndim(prob.u0) == 0
+
     if phi.is_deeponet:
+        if n_out != 1:
+            raise ValueError("DeepONet PINOODE supports scalar u0; use an "
+                             "MLP chain for ODE systems")
         out = phi((p, t), theta)                              # (T, P)
         du = _dfdt(phi, (p, t), theta)
         t0 = jnp.full((1, 1), prob.tspan[0], dtype=t.dtype)
         u_at_t0 = phi((p, t0), theta)                         # (1, P)
-    else:
-        pp = jnp.repeat(p[:, :, None], T, axis=2)             # (n_b, P, T)
-        tt = jnp.broadcast_to(t[0][None, None, :], (1, P, T))
-        x = jnp.concatenate([pp, tt], axis=0).reshape(n_b + 1, P * T)
-        out = phi(x, theta).reshape(P, T).T                   # (T, P)
-        du = _dfdt(phi, x, theta).reshape(P, T).T
-        x0 = x.at[-1, :].set(prob.tspan[0])
-        u_at_t0 = phi(x0, theta).reshape(P, T).T              # (T, P), constant in T
 
-    def f_one(u_scalar, p_col, t_scalar):
+        def f_one(u_scalar, p_col, t_scalar):
+            p_arg = p_col[0] if n_b == 1 else p_col
+            return prob.f(u_scalar, p_arg, t_scalar)
+
+        f_pt = jax.vmap(jax.vmap(f_one, in_axes=(0, None, 0)),   # over T
+                        in_axes=(1, 1, None), out_axes=1)        # over P
+        f_vec = f_pt(out, p, t[0])                                # (T, P)
+        physics = jnp.mean((du - f_vec) ** 2)
+        ic = jnp.mean((u_at_t0 - prob.u0) ** 2)
+        return physics + ic
+
+    pp = jnp.repeat(p[:, :, None], T, axis=2)             # (n_b, P, T)
+    tt = jnp.broadcast_to(t[0][None, None, :], (1, P, T))
+    x = jnp.concatenate([pp, tt], axis=0).reshape(n_b + 1, P * T)
+    out = phi(x, theta).reshape(n_out, P, T)              # (n_out, P, T)
+    du = _dfdt(phi, x, theta).reshape(n_out, P, T)
+    x0 = x.at[-1, :].set(prob.tspan[0])
+    u_at_t0 = phi(x0, theta).reshape(n_out, P, T)
+
+    def f_one(u_col, p_col, t_scalar):
         p_arg = p_col[0] if n_b == 1 else p_col
-        return prob.f(u_scalar, p_arg, t_scalar)
+        u_in = u_col[0] if scalar_u else u_col
+        return jnp.atleast_1d(jnp.asarray(prob.f(u_in, p_arg, t_scalar)))
 
-    f_pt = jax.vmap(jax.vmap(f_one, in_axes=(0, None, 0)),   # over T
-                    in_axes=(1, 1, None), out_axes=1)        # over P
-    f_vec = f_pt(out, p, t[0])                                # (T, P)
+    # map over P then T: u_col (n_out,) per (p, t)
+    f_pt = jax.vmap(jax.vmap(f_one, in_axes=(1, None, 0), out_axes=1),
+                    in_axes=(1, 1, None), out_axes=1)      # (n_out, P, T)
+    f_vec = f_pt(out, p, t[0])
     physics = jnp.mean((du - f_vec) ** 2)
-    ic = jnp.mean((u_at_t0 - prob.u0) ** 2)
+    ic = jnp.mean((u_at_t0 - u0_arr[:, None, None]) ** 2)
     return physics + ic
 
 
@@ -181,6 +204,8 @@ def solve_pino_ode(prob: ODEProblem, alg: PINOODE, *, dt=None,
             jax.random.key(alg.seed + 1), bounds, alg.number_of_parameters,
             tspan, strategy.points, dtype)
 
+    n_out_sol = 1 if jnp.ndim(prob.u0) == 0 else int(np.prod(np.shape(prob.u0)))
+
     def interp(p, t):
         if phi.is_deeponet:
             return phi((p, t), res.u)
@@ -188,7 +213,10 @@ def solve_pino_ode(prob: ODEProblem, alg: PINOODE, *, dt=None,
         pp = jnp.repeat(p[:, :, None], T, axis=2)
         tt = jnp.broadcast_to(t[0][None, None, :], (1, P, T))
         x = jnp.concatenate([pp, tt], axis=0).reshape(p.shape[0] + 1, P * T)
-        return phi(x, res.u).reshape(P, T).T
+        out = phi(x, res.u).reshape(n_out_sol, P, T)
+        if n_out_sol == 1:
+            return out[0].T                                   # (T, P) as before
+        return jnp.moveaxis(out, 2, 0)                        # (T, n_out, P)
 
     u = interp(p_fin, t_fin)
     return PINOODESolution(u=u, t=t_fin, p=p_fin, interp=interp, original=res)

@@ -132,3 +132,24 @@ def test_sdepinn_absorbing_bcs():
     cord = jnp.asarray([[-2.0, 2.0], [0.5, 0.5]])
     vals = np.asarray(phi(cord, res.u["depvar"])[0])
     assert np.all(np.abs(vals) < 0.1)
+
+
+def test_pino_vector_output_system():
+    """PINO over an ODE *system* family (MLP operator, vector u):
+    du = [u2, -ω² u1] over ω ∈ [1, 2] (beyond the reference's scalar
+    examples; MLP mode)."""
+    def f(u, p, t):
+        return jnp.array([u[1], -p**2 * u[0]])
+
+    prob = ODEProblem(f=f, u0=np.array([1.0, 0.0]), tspan=(0.0, 1.0))
+    chain = mlp([2, 32, 32, 2])
+    alg = PINOODE(chain, optax.adam(0.01), bounds=[(1.0, 2.0)],
+                  number_of_parameters=40, strategy=StochasticTraining(40))
+    from neuralpde_tpu import solve_pino_ode as _solve
+    sol = _solve(prob, alg, maxiters=6000, inner_steps=25)
+    ws = np.linspace(1.1, 1.9, 9)
+    ts = np.linspace(0, 1, 21)
+    pred = np.asarray(sol(ws[None, :], ts[None, :]))   # (T, 2, P)
+    want_u1 = np.cos(ws[None, :] * ts[:, None])
+    err = np.abs(pred[:, 0, :] - want_u1)
+    assert err.mean() < 0.05
