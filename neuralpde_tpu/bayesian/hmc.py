@@ -170,12 +170,28 @@ def sample(logdensity: Callable, q0, key, draw_samples: int = 1000, *,
                            n_adapt=n_adapt, init_step_size=init_step_size)
 
     q0 = jnp.asarray(q0)
-    dim = q0.shape[0]
-    n_adapt = n_adapt if n_adapt is not None else (2 * draw_samples) // 3
-    grad_fn = jax.grad(logdensity)
     if init_step_size is None:
         key, sub = jax.random.split(key)
         init_step_size = find_good_stepsize(logdensity, q0, sub)
+    samples, accept, lvals, eps_f, inv_mass_f = _sample_arrays(
+        logdensity, q0, key, draw_samples, kernel=kernel,
+        n_leapfrog=n_leapfrog, target_accept=target_accept, lam=lam,
+        max_depth=max_depth, n_adapt=n_adapt,
+        init_step_size=init_step_size, return_state=True)
+    return SampleResult(samples=samples, accept_prob=accept,
+                        step_size=float(eps_f), inv_mass=inv_mass_f,
+                        logdensities=lvals)
+
+
+def _sample_arrays(logdensity, q0, key, draw_samples, *, kernel="hmc",
+                   n_leapfrog=30, target_accept=0.8, lam=1.0, max_depth=10,
+                   n_adapt=None, init_step_size=1.0, return_state=False,
+                   progress=False):
+    """Array-only core of `sample` (vmappable across chains)."""
+    q0 = jnp.asarray(q0)
+    dim = q0.shape[0]
+    n_adapt = n_adapt if n_adapt is not None else (2 * draw_samples) // 3
+    grad_fn = jax.grad(logdensity)
 
     transition = _hmc_transition(logdensity, grad_fn, kernel, n_leapfrog,
                                  lam, max_depth)
@@ -218,25 +234,37 @@ def sample(logdensity: Callable, q0, key, draw_samples: int = 1000, *,
     carry0 = (q0, da0, jnp.ones(dim), welford0)
     (qf, daf, inv_mass_f, _), (samples, accept, lvals) = jax.lax.scan(
         body, carry0, (jnp.arange(draw_samples), keys))
-    return SampleResult(samples=samples, accept_prob=accept,
-                        step_size=float(jnp.exp(daf.log_eps_avg)),
-                        inv_mass=inv_mass_f, logdensities=lvals)
+    if return_state:
+        return samples, accept, lvals, jnp.exp(daf.log_eps_avg), inv_mass_f
+    return samples, accept, lvals
 
 
 def sample_chains(logdensity, q0s, key, draw_samples: int = 1000, **kw):
-    """Independent chains vmapped (device-parallel under a mesh) —
-    the TPU-native replacement for Threads.@threads over chains."""
+    """Independent chains vmapped into ONE program — the TPU-native
+    replacement for the reference's Threads.@threads over chains
+    (ext/bpinn/advancedHMC_MCMC.jl:507-540).  Under a device mesh, shard the
+    leading chain axis to run chains on separate chips."""
+    if kw.get("kernel") == "nuts":
+        # NUTS carries data-dependent while_loops; keep chains sequential
+        n = q0s.shape[0]
+        keys = jax.random.split(key, n)
+        outs = []
+        for i in range(n):
+            k1, _ = jax.random.split(keys[i])
+            eps = find_good_stepsize(logdensity, q0s[i], k1)
+            outs.append(sample(logdensity, q0s[i], keys[i], draw_samples,
+                               init_step_size=eps, **kw).samples)
+        return jnp.stack(outs)
+
     n = q0s.shape[0]
     keys = jax.random.split(key, n)
-    eps_list = []
-    for i in range(n):
-        k1, _ = jax.random.split(keys[i])
-        eps_list.append(find_good_stepsize(logdensity, q0s[i], k1))
+    eps0 = jnp.asarray([find_good_stepsize(logdensity, q0s[i],
+                                           jax.random.split(keys[i])[0])
+                        for i in range(n)])
 
     def one(q0, k, eps):
-        return sample(logdensity, q0, k, draw_samples,
-                      init_step_size=eps, **kw).samples
+        return _sample_arrays(logdensity, q0, k, draw_samples,
+                              init_step_size=eps, **kw)
 
-    # python loop (chains are few); vmap would also work but find_good_stepsize
-    # is host-side per chain
-    return jnp.stack([one(q0s[i], keys[i], eps_list[i]) for i in range(n)])
+    samples, _, _ = jax.vmap(one)(q0s, keys, eps0)
+    return samples
