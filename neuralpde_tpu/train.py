@@ -163,7 +163,7 @@ def solve(prob, optimizer=None, maxiters: int = 1000, *,
         if verbose:
             print(f"[solve] iter {it:6d}  loss {loss_val:.6g}")
         if logger is not None and it % log_frequency == 0:
-            _log_metrics(logger, aux, it)
+            _log_metrics(logger, aux, it, carry[2])
         if callback is not None and callback(it, loss_val, aux):
             break
         if checkpoint_dir is not None and it % checkpoint_every < inner_steps:
@@ -185,7 +185,7 @@ def solve(prob, optimizer=None, maxiters: int = 1000, *,
                        history=history)
 
 
-def _log_metrics(logger, aux, step: int):
+def _log_metrics(logger, aux, step: int, ada_state=None):
     logvector(logger, aux["pde_losses"], "unweighted_loss/pde_losses", step)
     logvector(logger, aux["bc_losses"], "unweighted_loss/bc_losses", step)
     logvector(logger, aux["weighted_pde_losses"],
@@ -201,3 +201,8 @@ def _log_metrics(logger, aux, step: int):
     if "additional_loss" in aux:
         logscalar(logger, float(aux["additional_loss"]),
                   "weighted_loss/weighted_additional_loss", step)
+    if ada_state is not None:
+        logvector(logger, ada_state["pde_weights"],
+                  "adaptive_loss/pde_loss_weights", step)
+        logvector(logger, ada_state["bc_weights"],
+                  "adaptive_loss/bc_loss_weights", step)
