@@ -6,9 +6,10 @@ Prints ONE JSON line:
 The reference (SciML/NeuralPDE.jl) publishes no throughput numbers
 (BASELINE.md), so `vs_baseline` is computed against an estimated CPU-Julia
 throughput for the same workload: a 2x64x64x1 MLP 2D-Poisson residual
-(two 2nd-order FD stencil terms ≈ 9 chained forward evaluations) plus the
+(two 2nd-order derivative terms ≈ 9 chained forward evaluations) plus the
 Zygote reverse pass, on one CPU core ≈ 2.5e5 collocation points/sec.  The
 BASELINE.json north star is ≥10x that per-step throughput on one TPU chip.
+Measured on v5e: ~88M points/sec (see PERF.md for the sweep).
 """
 
 from __future__ import annotations
