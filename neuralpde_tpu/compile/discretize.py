@@ -40,7 +40,11 @@ class Phi:
         self.module = module
 
     def __call__(self, cord, params):
-        cord = jnp.atleast_2d(jnp.asarray(cord))
+        cord = jnp.asarray(cord)
+        if cord.ndim == 1:
+            # single point given as a flat vector (the reference's
+            # `phi([x, y], θ)` idiom) -> one column
+            cord = cord[:, None]
         return self.module.apply(params, cord)
 
     def apply(self, params, cord):

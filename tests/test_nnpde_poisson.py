@@ -172,3 +172,35 @@ def test_remat_option():
     prob = discretize(system, disc)
     res = solve(prob, optax.adam(0.05), maxiters=100, inner_steps=25)
     assert np.isfinite(res.objective)
+
+
+def test_phi_single_point_idiom():
+    """phi([x, y], θ) evaluates one point (reference idiom, e.g.
+    `first(phi([x, y], res.u))`)."""
+    system, _ = poisson_system()
+    disc = PhysicsInformedNN(mlp([2, 8, 1]), GridTraining(0.2))
+    pinnrep = symbolic_discretize(system, disc)
+    theta = pinnrep.flat_init_params["depvar"]
+    one = disc.phi([0.3, 0.4], theta)
+    assert one.shape == (1, 1)
+    batch = disc.phi(jnp.asarray([[0.3], [0.4]]), theta)
+    np.testing.assert_allclose(np.asarray(one), np.asarray(batch))
+
+
+def test_quasirandom_minibatch_mode():
+    """resampling=False pre-generates `minibatch` designs and cycles them
+    (reference: src/training_strategies.jl:337-343)."""
+    pred, want, _ = run_poisson(
+        QuasiRandomTraining(256, resampling=False, minibatch=8),
+        maxiters=1500)
+    assert np.max(np.abs(pred - want)) < 0.02
+
+
+def test_weighted_interval_rejected_for_pdes():
+    from neuralpde_tpu import WeightedIntervalTraining
+
+    system, _ = poisson_system()
+    disc = PhysicsInformedNN(mlp([2, 8, 1]),
+                             WeightedIntervalTraining([0.5, 0.5], 100))
+    with pytest.raises(ValueError, match="ODEs"):
+        discretize(system, disc)
