@@ -7,10 +7,13 @@ Dense chain for one batch tile in VMEM: weights stay resident, activations
 never round-trip to HBM between layers, and the batch axis rides the lanes.
 
 `fused_mlp_apply(chain, params, x)` is a drop-in for `Chain.apply` for
-inference-sized batches; falls back to the reference XLA path for
-architectures the kernel doesn't cover (non-Dense layers).  Training still
-uses the XLA path (autodiff through pallas_call forward works via jvp of the
-whole kernel only when a custom VJP is defined — planned follow-up).
+inference-sized batches; falls back to the XLA path for architectures the
+kernel doesn't cover (non-Dense layers).  Verified compiled on v5e (matmuls
+take the MXU's single bf16 pass, ~1e-3 absolute difference vs XLA's f32
+decomposition).  Training still uses the XLA path — measured head-to-head,
+XLA's fused jvp-of-jvp pipeline already runs at ~45% of f32 peak and beat a
+hand-stacked Taylor formulation (PERF.md), so a custom-VJP Pallas kernel is
+deferred until profiling shows a gap.
 """
 
 from __future__ import annotations
