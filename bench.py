@@ -29,6 +29,11 @@ STEPS_MEASURE = 100
 
 def main():
     import jax
+
+    # persistent compile cache: repeated driver runs skip the ~minutes-long
+    # first TPU compilation
+    jax.config.update("jax_compilation_cache_dir", "/tmp/neuralpde_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import optax
 
