@@ -110,3 +110,44 @@ def test_kuramoto_sivashinsky_fourth_order():
     want = u_analytic_np(X, T)
     rel = np.sqrt(np.mean((pred - want) ** 2)) / np.sqrt(np.mean(want**2))
     assert rel < 0.2
+
+
+def test_coupled_first_order_pde_system_2d():
+    """Dx(u1) + 4 Dy(u2) = 0, Dx(u2) + 9 Dy(u1) = 0 — the reference's
+    canonical system example (src/discretize.jl docstring,
+    test/NNPDE1/nnpde__pde_iv_system_of_pdes.jl).  Manufactured plane-wave
+    solution u1 = sin(6x + y), u2 = -1.5 sin(6x + y)."""
+    x, y = symbols("x y")
+    u1, u2 = DepVar("u1"), DepVar("u2")
+    Dx = Differential(x)
+    Dy = Differential(y)
+    eqs = [
+        Eq(Dx(u1(x, y)) + 4.0 * Dy(u2(x, y)), 0.0),
+        Eq(Dx(u2(x, y)) + 9.0 * Dy(u1(x, y)), 0.0),
+    ]
+
+    def s1(a, b):
+        return npde.sin(6.0 * a + b)
+
+    bcs = [
+        Eq(u1(0.0, y), s1(0.0, y)), Eq(u1(x, 0.0), s1(x, 0.0)),
+        Eq(u1(1.0, y), s1(1.0, y)), Eq(u1(x, 1.0), s1(x, 1.0)),
+        Eq(u2(0.0, y), -1.5 * s1(0.0, y)), Eq(u2(x, 0.0), -1.5 * s1(x, 0.0)),
+        Eq(u2(1.0, y), -1.5 * s1(1.0, y)), Eq(u2(x, 1.0), -1.5 * s1(x, 1.0)),
+    ]
+    system = PDESystem(eqs, bcs,
+                       [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))],
+                       [x, y], [u1(x, y), u2(x, y)])
+    chains = [mlp([2, 24, 24, 1]), mlp([2, 24, 24, 1])]
+    disc = PhysicsInformedNN(chains, GridTraining(0.05))
+    prob = discretize(system, disc)
+    res = solve(prob, optax.adam(0.01), maxiters=6000, inner_steps=25)
+    xs = np.linspace(0, 1, 21)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    cord = jnp.asarray(np.stack([X.ravel(), Y.ravel()]))
+    p1 = np.asarray(disc.phi[0](cord, res.u["depvar"]["u1"])[0])
+    p2 = np.asarray(disc.phi[1](cord, res.u["depvar"]["u2"])[0])
+    w1 = np.sin(6 * X + Y).ravel()
+    w2 = -1.5 * w1
+    assert np.sqrt(np.mean((p1 - w1) ** 2)) < 0.1
+    assert np.sqrt(np.mean((p2 - w2) ** 2)) < 0.15
