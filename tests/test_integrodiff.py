@@ -97,3 +97,55 @@ def test_lbfgs_optimizer_integration():
     ts = np.linspace(0, 1, 20)
     pred = np.asarray(disc.phi(jnp.asarray(ts[None, :]), res.u["depvar"])[0])
     assert np.max(np.abs(pred - np.exp(-ts))) < 0.05
+
+
+def test_multioutput_integrand_product():
+    """∫₁ˣ u·w ds = log(x), w' = -2/x³, u = x -> u=x, w=1/x²
+    (reference: ide__integrodiff_example_5_1_input_2_outputs.jl, MSE < 1e-3)."""
+    from neuralpde_tpu import log as nlog
+
+    x = symbols("x")
+    u, w = DepVar("u"), DepVar("w")
+    Dx = Differential(x)
+    Ix = Integral(x, 1.0, x)
+    eqs = [
+        Eq(Ix(u(x) * w(x)), nlog(x)),
+        Eq(Dx(w(x)), -2.0 / x**3),
+        Eq(u(x), x),
+    ]
+    bcs = [Eq(u(1.0), 1.0), Eq(w(1.0), 1.0)]
+    system = PDESystem(eqs, bcs, [Domain(x, Interval(1, 2))], [x],
+                       [u(x), w(x)])
+    chains = [mlp([1, 15, 1], activation=sigmoid) for _ in range(2)]
+    disc = PhysicsInformedNN(chains, GridTraining(0.1), integral_order=10)
+    prob = discretize(system, disc)
+    res = solve(prob, optax.adam(0.02), maxiters=3000, inner_steps=25)
+    xs = np.arange(1.0, 2.0001, 0.01)
+    pu = np.asarray(disc.phi[0](jnp.asarray(xs[None, :]),
+                                res.u["depvar"]["u"])[0])
+    pw = np.asarray(disc.phi[1](jnp.asarray(xs[None, :]),
+                                res.u["depvar"]["w"])[0])
+    assert np.mean((pu - xs) ** 2) < 1e-3
+    assert np.mean((pw - 1.0 / xs**2) ** 2) < 1e-3
+
+
+def test_symbolic_lower_bound_to_infinity():
+    """∫ₓ^∞ u ds = 1/x, u(1)=1 -> u = 1/x² (reference:
+    ide__integrodiff_example_7_infinity.jl, rtol 0.02) — exercises a
+    SYMBOLIC lower bound combined with an infinite upper bound."""
+    x = symbols("x")
+    u = DepVar("u")
+    I = Integral(x, x, np.inf)
+    eq = Eq(I(u(x)), 1.0 / x)
+    bcs = [Eq(u(1.0), 1.0)]
+    system = PDESystem(eq, bcs, [Domain(x, Interval(1, 2))], [x], [u(x)])
+    disc = PhysicsInformedNN(mlp([1, 12, 1]), GridTraining(0.1),
+                             integral_order=12, integral_panels=4)
+    prob = discretize(system, disc)
+    res = solve(prob, optax.adam(0.02), maxiters=3000, inner_steps=25)
+    res = solve(prob.with_params(res.u), optax.lbfgs(), maxiters=800,
+                inner_steps=10)
+    xs = np.arange(1.0, 2.0001, 0.01)
+    pred = np.asarray(disc.phi(jnp.asarray(xs[None, :]), res.u["depvar"])[0])
+    want = 1.0 / xs**2
+    assert np.max(np.abs(pred - want) / want) < 0.02  # reference rtol
