@@ -96,3 +96,20 @@ def test_empty_boundary_conditions_error():
     assert len(prob.pinnrep.loss_functions.bc_loss_functions) == 0
     res = solve(prob, optax.adam(0.05), maxiters=50, inner_steps=25)
     assert np.isfinite(res.objective)
+
+
+def test_trivial_bc_zero_at_zero():
+    """u(0)=0 as the only constraint with a direct-function equation
+    (reference root test: direct_function__trivial_bc_0_0 — documents which
+    strategies handle it; Grid works here)."""
+    x = symbols("x")
+    u = DepVar("u")
+    eq = Eq(u(x), x * (1.0 - x))
+    system = PDESystem(eq, [Eq(u(0.0), 0.0)],
+                       [Domain(x, Interval(0, 1))], [x], [u(x)])
+    disc = PhysicsInformedNN(mlp([1, 12, 1]), GridTraining(0.05))
+    prob = discretize(system, disc)
+    res = solve(prob, optax.adam(0.03), maxiters=1500, inner_steps=25)
+    xs = np.linspace(0, 1, 21)
+    pred = np.asarray(disc.phi(jnp.asarray(xs[None, :]), res.u["depvar"])[0])
+    assert np.max(np.abs(pred - xs * (1 - xs))) < 0.02

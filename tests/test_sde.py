@@ -112,3 +112,28 @@ def test_nnsde_tstops_blending():
     sol = solve_sde(prob, alg, dt=1 / 20, maxiters=300, abstol=1e-12,
                     tstops=[0.33, 0.66], inner_steps=25)
     assert np.isfinite(sol.original.objective)
+
+
+def test_nnsde_moment_loss_inverse():
+    """moment_loss=True path: mean/variance matching against strong
+    observations (reference: src/NN_SDE_solve.jl:403-449)."""
+    true_mu = 0.8
+    rng = np.random.default_rng(2)
+    ts = np.linspace(0.0, 1.0, 40)
+    dt = ts[1] - ts[0]
+    paths = []
+    for _ in range(8):
+        x = [1.0]
+        for i in range(len(ts) - 1):
+            x.append(x[-1] + true_mu * x[-1] * dt
+                     + 0.1 * x[-1] * np.sqrt(dt) * rng.standard_normal())
+        paths.append(np.asarray(x))
+    prob = SDEProblem(f=lambda u, p, t: p[0] * u, g=lambda u, p, t: 0.1 * u,
+                      u0=1.0, tspan=(0.0, 1.0), p=np.array([0.4]))
+    chain = mlp([3, 12, 1], activation=sigmoid)
+    alg = NNSDE(chain, optax.adam(0.02), sub_batch=4, param_estim=True,
+                dataset=[paths, ts], moment_loss=True)
+    sol = solve_sde(prob, alg, dt=1 / 25.0, maxiters=1200, abstol=1e-12,
+                    inner_steps=25)
+    assert np.isfinite(sol.original.objective)
+    assert abs(sol.estimated_params[0] - true_mu) < 0.2
