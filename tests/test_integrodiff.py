@@ -149,3 +149,27 @@ def test_symbolic_lower_bound_to_infinity():
     pred = np.asarray(disc.phi(jnp.asarray(xs[None, :]), res.u["depvar"])[0])
     want = 1.0 / xs**2
     assert np.max(np.abs(pred - want) / want) < 0.02  # reference rtol
+
+
+def test_get_numeric_integral_helper():
+    """Exported debugging helper evaluates an IntegralExpr directly
+    (reference export: get_numeric_integral, src/discretize.jl:332-396)."""
+    from neuralpde_tpu import get_numeric_integral
+    from neuralpde_tpu.compile.lower import LoweringContext
+    from neuralpde_tpu.ops.derivatives import DerivativeEngine
+
+    x = symbols("x")
+    u = DepVar("u")
+    net = mlp([1, 8, 1])
+    params = {"depvar": net.init(__import__("jax").random.key(0))}
+    ctx = LoweringContext(
+        depvars=["u"], indvars=["x"], dict_depvar_input={"u": ["x"]},
+        phis=[net.apply], multioutput=False,
+        derivative=DerivativeEngine("jvp"))
+    integral = get_numeric_integral(ctx)
+    expr = Integral(x, 0.0, 1.0)(u(x))
+    cord = jnp.asarray([[0.2, 0.7]])
+    vals = integral(expr, cord, params, [x])
+    assert vals.shape == (2,)
+    # constant bounds -> same integral at both points
+    np.testing.assert_allclose(float(vals[0]), float(vals[1]), rtol=1e-10)

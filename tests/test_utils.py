@@ -155,3 +155,34 @@ def test_solve_checkpointing(tmp_path):
     res2 = solve(prob.with_params(params), optax.adam(0.05), maxiters=25,
                  inner_steps=25)
     assert np.isfinite(res2.objective)
+
+
+def test_eltype_adaptor():
+    from neuralpde_tpu import EltypeAdaptor, recursive_eltype
+
+    tree = {"a": jnp.ones((2,), jnp.float64), "b": jnp.ones((2,), jnp.float32),
+            "i": jnp.ones((2,), jnp.int32)}
+    out = EltypeAdaptor(jnp.float32)(tree)
+    assert out["a"].dtype == jnp.float32
+    assert out["i"].dtype == jnp.int32          # ints untouched
+    assert recursive_eltype(tree) == jnp.float64
+
+
+def test_export_dynamic_batch():
+    from neuralpde_tpu.compile.discretize import Phi
+    from neuralpde_tpu.utils.export import export_phi
+
+    net = mlp([2, 8, 1])
+    params = net.init(jax.random.key(0))
+    phi = Phi(net)
+    blob, call = export_phi(phi, params, in_dim=2, batch=None,
+                            dtype=jnp.float64)
+    for n in (5, 17):
+        out = call(jnp.ones((2, n), jnp.float64))
+        assert out.shape == (1, n)
+
+
+def test_per_process_batch():
+    from neuralpde_tpu.parallel.distributed import per_process_batch
+
+    assert per_process_batch(64) == 64  # single process (always divisible)
