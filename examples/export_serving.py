@@ -24,11 +24,13 @@ disc = PhysicsInformedNN(mlp([1, 16, 1]), GridTraining(0.05))
 prob = discretize(system, disc)
 res = solve(prob, optax.adam(5e-2), maxiters=1500, inner_steps=25)
 
+from neuralpde_tpu import default_float
+dtype = default_float()
 blob, call = export_phi(disc.phi, res.u["depvar"], in_dim=1, batch=64,
-                        dtype=jnp.float64)
+                        dtype=dtype)
 save_exported("/tmp/solution.stablehlo", blob)
 serve = load_exported("/tmp/solution.stablehlo")
-ts = jnp.linspace(0, 1, 64, dtype=jnp.float64)[None, :]
+ts = jnp.linspace(0, 1, 64, dtype=dtype)[None, :]
 out = serve(ts)
 print("serving max err vs exp(-t):",
       float(jnp.max(jnp.abs(out[0] - jnp.exp(-ts[0])))))
