@@ -17,9 +17,6 @@ All five reference schemes are provided:
 
 from __future__ import annotations
 
-from typing import Sequence
-
-import numpy as np
 import jax
 import jax.numpy as jnp
 import optax

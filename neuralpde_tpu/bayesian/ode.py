@@ -9,7 +9,7 @@ HMC/NUTS kernels in `neuralpde_tpu.bayesian.hmc`.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable
 
 import numpy as np
@@ -22,7 +22,7 @@ from ..strategies import (
     GridTraining, QuadratureTraining, StochasticTraining,
     WeightedIntervalTraining, julia_range,
 )
-from ..utils.pytree import parameters_to_vector, vector_to_parameters
+from ..utils.pytree import parameters_to_vector
 from . import hmc
 from ..solvers.problems import ODEProblem
 

@@ -14,15 +14,11 @@ codegen of the reference becomes one batched residual evaluation.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Any
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..compile.discretize import BayesianPINN, symbolic_discretize
-from ..config import default_float
 from ..ops.distributions import Normal, Particles, mvnormal_diag_logpdf
 from ..strategies import GridTraining, generate_training_sets, julia_range
 from ..utils.pytree import parameters_to_vector

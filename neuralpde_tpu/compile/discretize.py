@@ -8,7 +8,7 @@ them into a `TrainingProblem` for `neuralpde_tpu.train.solve`.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Callable, Sequence
+from typing import Any, Callable
 
 import numpy as np
 import jax

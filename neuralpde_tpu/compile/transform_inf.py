@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import math
 
-from ..symbolic.expr import Expr, IntegralExpr, Num, Sym, substitute
+from ..symbolic.expr import Expr, IntegralExpr, Num, substitute
 
 # ε = 1/20 mirrors the reference (src/transform_inf_integral.jl:129).  The
 # clipping bounds the effective domain (x ≲ 20 for semi-infinite) so the

@@ -12,7 +12,6 @@ transpose at the boundary.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from .core import Module

@@ -13,9 +13,8 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 
-from .core import Chain, Dense, Module, glorot_uniform, identity, tanh, zeros_init
+from .core import Dense, Module, glorot_uniform, identity, tanh, zeros_init
 
 
 class DGMLSTMLayer(Module):

@@ -7,7 +7,7 @@ DAE form: ``f(du, u, p, t) = 0`` out-of-place; algebraic rows (where
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from typing import Any, Callable
 
 import numpy as np

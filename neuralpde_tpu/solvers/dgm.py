@@ -6,7 +6,6 @@ from __future__ import annotations
 from typing import Callable
 
 from ..compile.discretize import PhysicsInformedNN
-from ..nn.core import identity, tanh
 from ..nn.dgm import DGM
 from ..strategies import TrainingStrategy
 

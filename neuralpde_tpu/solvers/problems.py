@@ -6,7 +6,6 @@ from dataclasses import dataclass, field, replace
 from typing import Any, Callable
 
 import numpy as np
-import jax.numpy as jnp
 
 
 @dataclass

@@ -21,7 +21,7 @@ from ..config import default_float
 from ..ops.distributions import Normal
 from ..ops.quadrature import gauss_legendre
 from ..strategies import GridTraining
-from ..symbolic.expr import DepVar, Deriv, Differential, Eq, Num, Sym, wrap
+from ..symbolic.expr import DepVar, Deriv, Differential, Eq, Sym, wrap
 from ..symbolic.system import Domain, Interval, PDESystem
 from ..train import solve as train_solve
 

@@ -5,7 +5,7 @@ from __future__ import annotations
 import math
 from typing import Sequence
 
-from .expr import DepVarCall, Eq, Expr, Param, Sym, wrap
+from .expr import DepVarCall, Eq, Param, Sym
 
 
 class Interval:

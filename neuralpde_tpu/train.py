@@ -13,7 +13,6 @@ Set ``inner_steps > 1`` to scan that many optimizer steps per host round-trip
 
 from __future__ import annotations
 
-import time
 from dataclasses import dataclass
 from typing import Any, Callable
 
