@@ -27,6 +27,71 @@ HIDDEN = 64
 STEPS_MEASURE = 100
 
 
+def time_to_l2(target: float = 1e-3, max_seconds: float = 120.0):
+    """Secondary BASELINE metric: wall-clock until the trained solution's
+    RMS error vs the analytic 2D-Poisson solution drops below `target`.
+    Prints to stderr (stdout stays the single JSON line of main())."""
+    import sys
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/neuralpde_tpu_jax_cache")
+    import jax.numpy as jnp
+    import optax
+
+    import neuralpde_tpu as npde
+    from neuralpde_tpu import (
+        DepVar, Differential, Domain, Eq, Interval, PDESystem,
+        PhysicsInformedNN, StochasticTraining, discretize, mlp, symbols, solve,
+    )
+
+    x, y = symbols("x y")
+    u = DepVar("u")
+    Dxx = Differential(x) ** 2
+    Dyy = Differential(y) ** 2
+    eq = Eq(Dxx(u(x, y)) + Dyy(u(x, y)),
+            -npde.sin(np.pi * x) * npde.sin(np.pi * y))
+    bcs = [Eq(u(0.0, y), 0.0), Eq(u(1.0, y), 0.0),
+           Eq(u(x, 0.0), 0.0), Eq(u(x, 1.0), 0.0)]
+    system = PDESystem(eq, bcs,
+                       [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))],
+                       [x, y], [u(x, y)])
+    disc = PhysicsInformedNN(mlp([2, 64, 64, 1]),
+                             StochasticTraining(8192, bcs_points=1024),
+                             derivative="jet")
+    prob = discretize(system, disc)
+
+    xs = np.linspace(0, 1, 51)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    cord = jnp.asarray(np.stack([X.ravel(), Y.ravel()]), jnp.float32)
+    want = np.sin(np.pi * X) * np.sin(np.pi * Y) / (2 * np.pi**2)
+
+    eval_fn = jax.jit(lambda th: disc.phi(cord, th["depvar"])[0])
+    # warm up compiles outside the timed region
+    res = solve(prob, optax.adam(2e-3), maxiters=50, inner_steps=50)
+    np.asarray(eval_fn(res.u))
+
+    t0 = time.perf_counter()
+    theta = prob.init_params
+    it = 0
+    while True:
+        r = solve(prob.with_params(theta), optax.adam(2e-3), maxiters=500,
+                  inner_steps=100)
+        theta = r.u
+        it += 500
+        pred = np.asarray(eval_fn(theta)).reshape(51, 51)
+        l2 = float(np.sqrt(np.mean((pred - want) ** 2)))
+        el = time.perf_counter() - t0
+        print(f"[to-l2] iter={it} l2={l2:.2e} t={el:.1f}s", file=sys.stderr)
+        if l2 < target:
+            print(f"[to-l2] reached L2<{target} in {el:.2f}s ({it} iters)",
+                  file=sys.stderr)
+            return el
+        if el > max_seconds:
+            print(f"[to-l2] did not reach target in {max_seconds}s "
+                  f"(final {l2:.2e})", file=sys.stderr)
+            return None
+
+
 def main():
     import jax
 
@@ -96,4 +161,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--to-l2" in sys.argv:
+        time_to_l2()
+    else:
+        main()
