@@ -92,6 +92,69 @@ def time_to_l2(target: float = 1e-3, max_seconds: float = 120.0):
             return None
 
 
+def burgers_points_per_sec():
+    """Burgers counterpart of main() (BASELINE metric names both workloads):
+    u_t + u·u_x = ν u_xx training-step throughput.  Prints one JSON line."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/neuralpde_tpu_jax_cache")
+    import jax.numpy as jnp
+    import optax
+
+    import neuralpde_tpu as npde
+    from neuralpde_tpu import (
+        DepVar, Differential, Domain, Eq, Interval, PDESystem,
+        PhysicsInformedNN, StochasticTraining, discretize, mlp, symbols,
+    )
+    from neuralpde_tpu.train import make_step
+
+    nu = 0.05
+    x, t = symbols("x t")
+    u = DepVar("u")
+    Dt = Differential(t)
+    Dx = Differential(x)
+    Dxx = Differential(x) ** 2
+    eq = Eq(Dt(u(x, t)) + u(x, t) * Dx(u(x, t)), nu * Dxx(u(x, t)))
+    bcs = [Eq(u(x, 0.0), -npde.sin(np.pi * x)),
+           Eq(u(-1.0, t), 0.0), Eq(u(1.0, t), 0.0)]
+    system = PDESystem(eq, bcs,
+                       [Domain(x, Interval(-1, 1)), Domain(t, Interval(0, 1))],
+                       [x, t], [u(x, t)])
+    disc = PhysicsInformedNN(mlp([2, HIDDEN, HIDDEN, 1]),
+                             StochasticTraining(BATCH, bcs_points=BATCH // 8),
+                             derivative="jet")
+    prob = discretize(system, disc)
+    opt = optax.adam(1e-3)
+    lf = prob.pinnrep.loss_functions
+    step = make_step(prob.loss, opt, prob.pinnrep.adaloss,
+                     lf.pde_loss_functions, lf.bc_loss_functions)
+    theta = prob.init_params
+    ada = prob.pinnrep.adaloss.init_state(1, 3, prob.pinnrep.dtype)
+    carry = (theta, opt.init(theta), ada, jnp.asarray(0, jnp.int32))
+    key = jax.random.key(0)
+
+    def multi(carry, key):
+        def body(c, _):
+            return step(c, key)
+        carry, (losses, _) = jax.lax.scan(body, carry, None,
+                                          length=STEPS_MEASURE)
+        return carry, losses[-1]
+
+    jm = jax.jit(multi)
+    carry, loss = jm(carry, key)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    carry, loss = jm(carry, key)
+    jax.block_until_ready(loss)
+    dt_ = time.perf_counter() - t0
+    pps = (BATCH + 3 * (BATCH // 8)) * STEPS_MEASURE / dt_
+    print(json.dumps({
+        "metric": "1d_burgers_collocation_points_per_sec",
+        "value": round(pps, 1),
+        "unit": "points/sec",
+        "vs_baseline": round(pps / BASELINE_POINTS_PER_SEC, 3),
+    }))
+
+
 def main():
     import jax
 
@@ -165,5 +228,7 @@ if __name__ == "__main__":
 
     if "--to-l2" in sys.argv:
         time_to_l2()
+    elif "--burgers" in sys.argv:
+        burgers_points_per_sec()
     else:
         main()
