@@ -92,3 +92,49 @@ def test_bpinn_pde_inverse_with_collocation_likelihood():
         estim_collocate=True)
     lam_est = float(sol.estimated_de_params[0].mean)
     assert abs(lam_est - true_lam) < 0.15 * true_lam
+
+
+def test_bpinn_2d_poisson_forward():
+    """Bayesian forward solve of the 2D Poisson equation — a genuine
+    multi-dimensional PDE through the HMC path (reference:
+    test/PDEBPINN 2D cases)."""
+    x, y = symbols("x y")
+    u = DepVar("u")
+    Dxx = Differential(x) ** 2
+    Dyy = Differential(y) ** 2
+    from neuralpde_tpu import sin as nsin
+
+    eq = Eq(Dxx(u(x, y)) + Dyy(u(x, y)),
+            -nsin(np.pi * x) * nsin(np.pi * y))
+    bcs = [Eq(u(0.0, y), 0.0), Eq(u(1.0, y), 0.0),
+           Eq(u(x, 0.0), 0.0), Eq(u(x, 1.0), 0.0)]
+    system = PDESystem(eq, bcs,
+                       [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))],
+                       [x, y], [u(x, y)])
+    disc = BayesianPINN(mlp([2, 10, 1], activation=sigmoid),
+                        GridTraining(0.2))
+    sol = ahmc_bayesian_pinn_pde(
+        system, disc, draw_samples=400, bcstd=[0.01] * 4, phystd=[0.05],
+        priorsNNw=(0.0, 2.0), saveats=[0.1, 0.1], n_leapfrog=20)
+    mean_curve = np.asarray(sol.ensemblesol[0].mean)
+    cord = np.asarray(sol.timepoints[0])
+    want = (np.sin(np.pi * cord[0]) * np.sin(np.pi * cord[1])
+            / (2 * np.pi**2))
+    assert np.sqrt(np.mean((mean_curve - want) ** 2)) < 0.05
+
+
+def test_bpinn_ode_with_nuts_kernel():
+    """NUTS kernel end-to-end through the BPINN ODE driver."""
+    t = symbols("t")
+    u = DepVar("u")
+    Dt = Differential(t)
+    eq = Eq(Dt(u(t)), -u(t))
+    bcs = [Eq(u(0.0), 1.0)]
+    system = PDESystem(eq, bcs, [Domain(t, Interval(0, 1))], [t], [u(t)])
+    disc = BayesianPINN(mlp([1, 8, 1], activation=sigmoid), GridTraining(0.1))
+    sol = ahmc_bayesian_pinn_pde(
+        system, disc, draw_samples=250, bcstd=[0.02], phystd=[0.05],
+        priorsNNw=(0.0, 2.0), saveats=[0.05], Kernel="nuts", max_depth=6)
+    curve = np.asarray(sol.ensemblesol[0].mean)
+    ts = np.asarray(sol.timepoints[0][0])
+    assert np.sqrt(np.mean((curve - np.exp(-ts)) ** 2)) < 0.1
