@@ -151,3 +151,41 @@ def test_coupled_first_order_pde_system_2d():
     w2 = -1.5 * w1
     assert np.sqrt(np.mean((p1 - w1) ** 2)) < 0.1
     assert np.sqrt(np.mean((p2 - w2) ** 2)) < 0.15
+
+
+def test_nonlinear_hyperbolic_system():
+    """Nonlinear coupled hyperbolic-type system (reference:
+    docs/src/examples/nonlinear_hyperbolic.md spirit): manufactured
+    u = exp(-t) sin(x), w = exp(-t) cos(x) with nonlinear coupling
+    u_t = -u + (u² + w²) - exp(-2t), w_t = -w."""
+    x, t = symbols("x t")
+    u, w = DepVar("u"), DepVar("w")
+    Dt = Differential(t)
+    eqs = [
+        Eq(Dt(u(x, t)),
+           -u(x, t) + (u(x, t) ** 2 + w(x, t) ** 2) - npde.exp(-2.0 * t)),
+        Eq(Dt(w(x, t)), -w(x, t)),
+    ]
+    bcs = [
+        Eq(u(x, 0.0), npde.sin(x)),
+        Eq(w(x, 0.0), npde.cos(x)),
+        Eq(u(0.0, t), 0.0),
+        Eq(w(0.0, t), npde.exp(-t)),
+    ]
+    system = PDESystem(eqs, bcs,
+                       [Domain(x, Interval(0, 1)), Domain(t, Interval(0, 1))],
+                       [x, t], [u(x, t), w(x, t)])
+    chains = [mlp([2, 16, 16, 1]), mlp([2, 16, 16, 1])]
+    disc = PhysicsInformedNN(chains, GridTraining(0.1))
+    prob = discretize(system, disc)
+    res = solve(prob, optax.adam(0.02), maxiters=4000, inner_steps=25)
+    xs = np.linspace(0, 1, 11)
+    ts_ = np.linspace(0, 1, 11)
+    X, T = np.meshgrid(xs, ts_, indexing="ij")
+    cord = jnp.asarray(np.stack([X.ravel(), T.ravel()]))
+    pu = np.asarray(disc.phi[0](cord, res.u["depvar"]["u"])[0])
+    pw = np.asarray(disc.phi[1](cord, res.u["depvar"]["w"])[0])
+    wu = (np.exp(-T) * np.sin(X)).ravel()
+    ww = (np.exp(-T) * np.cos(X)).ravel()
+    assert np.sqrt(np.mean((pu - wu) ** 2)) < 0.05
+    assert np.sqrt(np.mean((pw - ww) ** 2)) < 0.05
