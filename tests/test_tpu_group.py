@@ -1,0 +1,63 @@
+"""Hardware-backend smoke group (the reference's test/CUDA analog).
+
+Runs only when NEURALPDE_TEST_PLATFORM=default is set AND a non-CPU backend
+is present — e.g.:
+    NEURALPDE_TEST_PLATFORM=default python -m pytest tests/test_tpu_group.py
+Mirrors test/CUDA/*: ODE + PDE smoke with the same tolerances as the CPU
+groups (reference: test/test_groups.toml:55-59)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+needs_hw = pytest.mark.skipif(
+    os.environ.get("NEURALPDE_TEST_PLATFORM", "cpu") == "cpu"
+    or jax.default_backend() == "cpu",
+    reason="hardware smoke group: set NEURALPDE_TEST_PLATFORM=default on a "
+           "TPU/GPU host")
+
+
+@needs_hw
+def test_ode_on_hardware():
+    from neuralpde_tpu import NNODE, ODEProblem, mlp
+    from neuralpde_tpu.solvers.ode import solve_ode
+
+    prob = ODEProblem(f=lambda u, p, t: -u, u0=1.0, tspan=(0.0, 1.0),
+                      analytic=lambda u0, p, t: np.exp(-t))
+    alg = NNODE(mlp([1, 12, 1]), optax.adam(0.05))
+    sol = solve_ode(prob, alg, dt=0.05, maxiters=600, abstol=1e-12,
+                    inner_steps=25)
+    assert sol.errors["l2"] < 0.05
+
+
+@needs_hw
+def test_2d_pde_on_hardware():
+    import neuralpde_tpu as npde
+    from neuralpde_tpu import (
+        DepVar, Differential, Domain, Eq, GridTraining, Interval, PDESystem,
+        PhysicsInformedNN, discretize, mlp, solve, symbols,
+    )
+
+    x, y = symbols("x y")
+    u = DepVar("u")
+    Dxx, Dyy = Differential(x) ** 2, Differential(y) ** 2
+    eq = Eq(Dxx(u(x, y)) + Dyy(u(x, y)),
+            -npde.sin(np.pi * x) * npde.sin(np.pi * y))
+    bcs = [Eq(u(0.0, y), 0.0), Eq(u(1.0, y), 0.0),
+           Eq(u(x, 0.0), 0.0), Eq(u(x, 1.0), 0.0)]
+    system = PDESystem(eq, bcs,
+                       [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))],
+                       [x, y], [u(x, y)])
+    disc = PhysicsInformedNN(mlp([2, 16, 16, 1]), GridTraining(0.1))
+    prob = discretize(system, disc)
+    res = solve(prob, optax.adam(0.02), maxiters=1500, inner_steps=25)
+    xs = np.linspace(0, 1, 11)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    cord = jnp.asarray(np.stack([X.ravel(), Y.ravel()]))
+    pred = np.asarray(disc.phi(cord, res.u["depvar"])[0]).reshape(11, 11)
+    want = np.sin(np.pi * X) * np.sin(np.pi * Y) / (2 * np.pi**2)
+    assert np.max(np.abs(pred - want)) < 0.05
