@@ -6,8 +6,8 @@ import jax.numpy as jnp
 import pytest
 
 from neuralpde_tpu import (
-    DepVar, Differential, Eq, Integral, Interval, Num, Sym, expand_derivatives,
-    substitute, symbolic_diff, symbols,
+    DepVar, Differential, Eq, Integral, Interval, Num, PDESystem, Sym,
+    expand_derivatives, substitute, symbolic_diff, symbols,
 )
 from neuralpde_tpu.symbolic import expr as E
 from neuralpde_tpu.compile.lower import (
@@ -127,3 +127,50 @@ def test_substitute_inside_depvar_call():
 def test_interval_validation():
     with pytest.raises(ValueError):
         Interval(1.0, 0.0)
+
+
+def test_pdesystem_validation_errors():
+    u = DepVar("u")
+    with pytest.raises(ValueError, match="no domain"):
+        PDESystem([Eq(u(x), 0.0)], [], [], [x], [u(x)])
+    with pytest.raises(TypeError, match="declared dependent-variable calls"):
+        PDESystem([Eq(u(x), 0.0)], [],
+                  [__import__("neuralpde_tpu").Domain(x, Interval(0, 1))],
+                  [x], [u])  # bare DepVar, not a call
+    with pytest.raises(TypeError, match="must be Eq"):
+        PDESystem([u(x)], [],
+                  [__import__("neuralpde_tpu").Domain(x, Interval(0, 1))],
+                  [x], [u(x)])
+
+
+def test_multidim_integral_parametric_bounds_error():
+    from neuralpde_tpu import (
+        Domain, GridTraining, PhysicsInformedNN, discretize, mlp,
+    )
+    import optax
+    from neuralpde_tpu import solve as nsolve
+
+    u2 = DepVar("u")
+    ix = Integral((x, y), (0.0, 0.0), (x, 1.0))  # parametric multi-dim
+    eq = Eq(ix(u2(x, y)), 1.0)
+    system = PDESystem(eq, [],
+                       [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))],
+                       [x, y], [u2(x, y)])
+    disc = PhysicsInformedNN(mlp([2, 8, 1]), GridTraining(0.5))
+    prob = discretize(system, disc)
+    import jax
+    with pytest.raises(ValueError, match="constant bounds"):
+        prob.loss(prob.init_params,
+                  {"key": jax.random.key(0),
+                   "adaptive": {"pde_weights": jnp.ones(1),
+                                "bc_weights": jnp.ones(0),
+                                "additional_weights": jnp.ones(1)}})
+
+
+def test_parameters_helper_and_repr():
+    from neuralpde_tpu import parameters
+
+    a, b = parameters("a b")
+    assert repr(a) == "a" and a != b
+    e = a * E.sin(x) + 2.0
+    assert "sin" in repr(e)
