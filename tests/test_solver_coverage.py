@@ -153,3 +153,58 @@ def test_pino_vector_output_system():
     want_u1 = np.cos(ws[None, :] * ts[:, None])
     err = np.abs(pred[:, 0, :] - want_u1)
     assert err.mean() < 0.05
+
+
+def test_pino_grid_training_branch():
+    """PINOODE with GridTraining (reference: get_trainset Grid variants,
+    src/pino_ode_solve.jl:198-229)."""
+    prob = ODEProblem(f=lambda u, p, t: jnp.cos(p * t), u0=1.0,
+                      tspan=(0.0, 1.0))
+    chain = DeepONet(mlp([1, 16, 16]), mlp([1, 16, 16]))
+    alg = PINOODE(chain, optax.adam(0.01), bounds=[(0.5, 2.0)],
+                  number_of_parameters=30,
+                  strategy=GridTraining(0.05))
+    sol = solve_pino_ode(prob, alg, maxiters=4000, inner_steps=25)
+    ps = np.linspace(0.6, 1.9, 10)
+    ts = np.linspace(0.0, 1.0, 20)
+    pred = np.asarray(sol(ps[None, :], ts[None, :]))
+    want = 1.0 + np.sin(ps[None, :] * ts[:, None]) / ps[None, :]
+    assert (np.abs(pred - want) / np.abs(want)).mean() < 0.08
+
+
+def test_lotka_volterra_inverse_nnode():
+    """4-parameter Lotka-Volterra inverse with NNODE + Data Quadrature loss
+    (reference: nnode parameter-estimation family; BPINN LV tutorial data)."""
+    alpha, beta, gamma, delta = 1.5, 1.0, 3.0, 1.0
+
+    def f(u, p, t):
+        return jnp.array([p[0] * u[0] - p[1] * u[0] * u[1],
+                          -p[2] * u[1] + p[3] * u[0] * u[1]])
+
+    # RK4 ground-truth data
+    def fnp(u, p):
+        return np.array([p[0] * u[0] - p[1] * u[0] * u[1],
+                         -p[2] * u[1] + p[3] * u[0] * u[1]])
+
+    p_true = np.array([alpha, beta, gamma, delta])
+    ts = np.linspace(0.0, 2.0, 80)
+    us = [np.array([1.0, 1.0])]
+    for i in range(len(ts) - 1):
+        h = ts[i + 1] - ts[i]
+        u_ = us[-1]
+        k1 = fnp(u_, p_true); k2 = fnp(u_ + h / 2 * k1, p_true)
+        k3 = fnp(u_ + h / 2 * k2, p_true); k4 = fnp(u_ + h * k3, p_true)
+        us.append(u_ + h / 6 * (k1 + 2 * k2 + 2 * k3 + k4))
+    traj = np.stack(us)
+    W = np.full_like(ts, ts[1] - ts[0])
+    dataset = [traj[:, 0], traj[:, 1], ts, W]
+
+    prob = ODEProblem(f=f, u0=np.array([1.0, 1.0]), tspan=(0.0, 2.0),
+                      p=np.array([1.0, 1.2, 2.0, 1.3]))
+    alg = NNODE(mlp([1, 24, 24, 2]), optax.adam(0.01), param_estim=True,
+                dataset=dataset, estim_collocate=True)
+    sol = solve_ode(prob, alg, dt=0.025, maxiters=6000, abstol=1e-12,
+                    inner_steps=25)
+    p_est = np.asarray(sol.original.u["p"])
+    # reference-style: |p̂ - p| < 0.1 p per parameter
+    assert np.all(np.abs(p_est - p_true) < 0.1 * p_true), p_est
