@@ -30,16 +30,16 @@ def rk4(u0, ts):
     return np.stack(us)
 
 
-ts = np.linspace(0, 4, 80)
+ts = np.linspace(0, 2, 80)
 traj = rk4([1.0, 1.0], ts)
 rng = np.random.default_rng(0)
-noisy = traj + 0.05 * traj.std(0) * rng.standard_normal(traj.shape)
+noisy = traj + 0.01 * traj.std(0) * rng.standard_normal(traj.shape)
 dataset = [noisy[:, 0], noisy[:, 1], ts, np.full_like(ts, ts[1] - ts[0])]
 
-prob = ODEProblem(f=f, u0=np.array([1.0, 1.0]), tspan=(0.0, 4.0),
+prob = ODEProblem(f=f, u0=np.array([1.0, 1.0]), tspan=(0.0, 2.0),
                   p=np.array([1.0, 1.0, 2.0, 1.0]))
-alg = BNNODE(mlp([1, 16, 16, 2]), dataset=dataset, draw_samples=600,
-             l2std=(0.05, 0.05), phystd=(0.1, 0.1), priorsNNw=(0.0, 3.0),
+alg = BNNODE(mlp([1, 16, 16, 2]), dataset=dataset, draw_samples=1200,
+             l2std=(0.02, 0.02), phystd=(0.05, 0.05), priorsNNw=(0.0, 3.0),
              param=(Normal(2.0, 1.0), Normal(1.5, 1.0), Normal(2.5, 1.0),
                     Normal(1.5, 1.0)),
              estim_collocate=True, n_leapfrog=25)

@@ -111,3 +111,46 @@ def test_bnnode_multichain():
         prob, chain, draw_samples=120, phystd=(0.05,), priorsNNw=(0.0, 3.0),
         nchains=2, n_leapfrog=10)
     assert samples.shape[0] == 2 and samples.shape[1] == 120
+
+
+def test_bnnode_lotka_volterra_inverse():
+    """Flagship Bayesian inverse: 4-parameter Lotka-Volterra recovery with
+    the Data Quadrature loglikelihood (reference tolerance:
+    |p̂-p| < 0.05-0.1 p, bpinn__bpinn_ode_iv_inverse_solve_improvement.jl)."""
+    from neuralpde_tpu.bayesian.ode import solve_bnnode
+    from neuralpde_tpu.nn.core import sigmoid
+
+    alpha, beta, gamma, delta = 1.5, 1.0, 3.0, 1.0
+
+    def f(u, p, t):
+        return jnp.array([p[0] * u[0] - p[1] * u[0] * u[1],
+                          -p[2] * u[1] + p[3] * u[0] * u[1]])
+
+    def fnp(u, p):
+        return np.array([p[0] * u[0] - p[1] * u[0] * u[1],
+                         -p[2] * u[1] + p[3] * u[0] * u[1]])
+
+    p_true = np.array([alpha, beta, gamma, delta])
+    ts = np.linspace(0, 2.0, 80)
+    us = [np.array([1.0, 1.0])]
+    for i in range(len(ts) - 1):
+        h = ts[i + 1] - ts[i]
+        u_ = us[-1]
+        k1 = fnp(u_, p_true); k2 = fnp(u_ + h / 2 * k1, p_true)
+        k3 = fnp(u_ + h / 2 * k2, p_true); k4 = fnp(u_ + h * k3, p_true)
+        us.append(u_ + h / 6 * (k1 + 2 * k2 + 2 * k3 + k4))
+    traj = np.stack(us)
+    rng = np.random.default_rng(0)
+    noisy = traj + 0.01 * traj.std(0) * rng.standard_normal(traj.shape)
+    dataset = [noisy[:, 0], noisy[:, 1], ts, np.full_like(ts, ts[1] - ts[0])]
+    prob = ODEProblem(f=f, u0=np.array([1.0, 1.0]), tspan=(0.0, 2.0),
+                      p=np.array([1.0, 1.0, 2.0, 1.0]))
+    alg = BNNODE(mlp([1, 16, 16, 2], activation=sigmoid), dataset=dataset,
+                 draw_samples=1200, l2std=(0.02, 0.02), phystd=(0.05, 0.05),
+                 priorsNNw=(0.0, 3.0),
+                 param=(Normal(2.0, 1.0), Normal(1.5, 1.0), Normal(2.5, 1.0),
+                        Normal(1.5, 1.0)),
+                 estim_collocate=True, n_leapfrog=25, numensemble=400)
+    sol = solve_bnnode(prob, alg)
+    est = np.array([float(p.mean) for p in sol.estimated_de_params])
+    assert np.all(np.abs(est - p_true) < 0.05 * p_true), est
