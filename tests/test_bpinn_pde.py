@@ -138,3 +138,52 @@ def test_bpinn_ode_with_nuts_kernel():
     curve = np.asarray(sol.ensemblesol[0].mean)
     ts = np.asarray(sol.timepoints[0][0])
     assert np.sqrt(np.mean((curve - np.exp(-ts)) ** 2)) < 0.1
+
+
+@pytest.mark.slow
+def test_bpinn_pde_lorenz_inverse():
+    """Reference headline PDEBPINN test: Lorenz-system σ inversion,
+    Σ|p̂−σ| < 0.3σ (bpinn_pde__bpinn_pde_inv_ii_lorenz_system.jl:73) —
+    multioutput Bayesian PDE path with dataset + collocation likelihood."""
+    import pytest as _pytest
+
+    sigma_t, rho_t, beta_t = 10.0, 28.0, 8.0 / 3.0
+    t = symbols("t")
+    X, Y, Z = DepVar("x"), DepVar("y"), DepVar("z")
+    sig = Param("sig")
+    Dt = Differential(t)
+    eqs = [Eq(Dt(X(t)), sig * (Y(t) - X(t))),
+           Eq(Dt(Y(t)), X(t) * (rho_t - Z(t)) - Y(t)),
+           Eq(Dt(Z(t)), X(t) * Y(t) - beta_t * Z(t))]
+    bcs = [Eq(X(0.0), 1.0), Eq(Y(0.0), 0.0), Eq(Z(0.0), 0.0)]
+    system = PDESystem(eqs, bcs, [Domain(t, Interval(0, 1))], [t],
+                       [X(t), Y(t), Z(t)], ps=[sig])
+
+    def fnp(u):
+        return np.array([sigma_t * (u[1] - u[0]),
+                         u[0] * (rho_t - u[2]) - u[1],
+                         u[0] * u[1] - beta_t * u[2]])
+
+    ts = np.linspace(0, 1.0, 100)
+    us = [np.array([1.0, 0.0, 0.0])]
+    for i in range(len(ts) - 1):
+        h = ts[i + 1] - ts[i]
+        u_ = us[-1]
+        k1 = fnp(u_); k2 = fnp(u_ + h / 2 * k1)
+        k3 = fnp(u_ + h / 2 * k2); k4 = fnp(u_ + h * k3)
+        us.append(u_ + h / 6 * (k1 + 2 * k2 + 2 * k3 + k4))
+    traj = np.stack(us)
+    rng = np.random.default_rng(0)
+    noisy = traj + 0.05 * np.abs(traj).mean(0) * rng.standard_normal(traj.shape)
+    dataset_pde = [np.column_stack([noisy[:, i], ts]) for i in range(3)]
+
+    chains = [mlp([1, 16, 16, 1], activation=sigmoid) for _ in range(3)]
+    disc = BayesianPINN(chains, GridTraining(0.02),
+                        dataset=(dataset_pde, None), param_estim=True)
+    sol = ahmc_bayesian_pinn_pde(
+        system, disc, draw_samples=700, bcstd=[0.5] * 3, phystd=[1.0] * 3,
+        l2std=[0.5] * 3, phynewstd=[1.0] * 3, priorsNNw=(0.0, 2.0),
+        param=[Normal(12.0, 3.0)], saveats=[0.05], n_leapfrog=25,
+        estim_collocate=True)
+    est = float(sol.estimated_de_params[0].mean)
+    assert abs(est - sigma_t) < 0.3 * sigma_t  # reference tolerance
