@@ -113,3 +113,58 @@ def test_trivial_bc_zero_at_zero():
     xs = np.linspace(0, 1, 21)
     pred = np.asarray(disc.phi(jnp.asarray(xs[None, :]), res.u["depvar"])[0])
     assert np.max(np.abs(pred - xs * (1 - xs))) < 0.02
+
+
+def test_lorenz_parameter_estimation_additional_loss():
+    """Deterministic Lorenz inverse via param_estim + data additional_loss
+    (reference: additional_loss__lorenz_system.jl, Σ(p̂ᵢ−pᵢ)² < 0.5/param)."""
+    from neuralpde_tpu.nn.core import sigmoid
+
+    sigma_t, rho_t, beta_t = 10.0, 28.0, 8.0 / 3.0
+    t = symbols("t")
+    X, Y, Z = DepVar("x"), DepVar("y"), DepVar("z")
+    sig, rho, bet = Param("sig"), Param("rho"), Param("bet")
+    Dt = Differential(t)
+    eqs = [Eq(Dt(X(t)), sig * (Y(t) - X(t))),
+           Eq(Dt(Y(t)), X(t) * (rho - Z(t)) - Y(t)),
+           Eq(Dt(Z(t)), X(t) * Y(t) - bet * Z(t))]
+    bcs = [Eq(X(0.0), 1.0), Eq(Y(0.0), 0.0), Eq(Z(0.0), 0.0)]
+    system = PDESystem(eqs, bcs, [Domain(t, Interval(0, 1))], [t],
+                       [X(t), Y(t), Z(t)], ps=[sig, rho, bet],
+                       defaults={sig: 1.0, rho: 1.0, bet: 1.0})
+
+    def fnp(u):
+        return np.array([sigma_t * (u[1] - u[0]),
+                         u[0] * (rho_t - u[2]) - u[1],
+                         u[0] * u[1] - beta_t * u[2]])
+
+    fine = np.linspace(0, 1, 201)
+    uu = [np.array([1.0, 0.0, 0.0])]
+    for i in range(len(fine) - 1):
+        h = fine[i + 1] - fine[i]
+        u_ = uu[-1]
+        k1 = fnp(u_); k2 = fnp(u_ + h / 2 * k1)
+        k3 = fnp(u_ + h / 2 * k2); k4 = fnp(u_ + h * k3)
+        uu.append(u_ + h / 6 * (k1 + 2 * k2 + 2 * k3 + k4))
+    ts_d = fine[::10]                       # reference dt = 0.05 data grid
+    traj = np.stack(uu)[::10]
+    ts_j = jnp.asarray(ts_d[None, :])
+    data = jnp.asarray(traj.T)  # (3, N)
+
+    def additional_loss(phi, theta, p):
+        tot = 0.0
+        for i, name in enumerate(("x", "y", "z")):
+            pred = phi[i](ts_j, theta[name])[0]
+            tot = tot + jnp.sum((pred - data[i]) ** 2) / ts_d.shape[0]
+        return tot
+
+    chains = [mlp([1, 12, 12, 1], activation=sigmoid) for _ in range(3)]
+    disc = PhysicsInformedNN(chains, GridTraining(0.05), param_estim=True,
+                             additional_loss=additional_loss)
+    prob = discretize(system, disc)
+    # pure L-BFGS like the reference's BFGS recipe — Adam drifts the
+    # physical parameters on this stiff coupled system
+    res = solve(prob, optax.lbfgs(), maxiters=4000, inner_steps=20)
+    p_est = np.asarray(res.u["p"])
+    p_true = np.array([sigma_t, rho_t, beta_t])
+    assert np.all((p_est - p_true) ** 2 < 0.5), p_est  # reference tolerance
