@@ -137,3 +137,27 @@ def test_nnsde_moment_loss_inverse():
                     inner_steps=25)
     assert np.isfinite(sol.original.objective)
     assert abs(sol.estimated_params[0] - true_mu) < 0.2
+
+
+def test_sdepinn_fokker_planck_gbm():
+    """GBM Fokker-Planck weak solve: density at t=1 ≈ lognormal
+    (reference: test/NNSDE2 GBM weaksolve case)."""
+    mu_, s_ = 0.3, 0.25
+    prob = SDEProblem(f=lambda x, p, t: mu_ * x, g=lambda x, p, t: s_ * x,
+                      u0=1.0, tspan=(0.0, 1.0))
+    chain = mlp([2, 16, 16, 1], activation=jnp.tanh,
+                out_activation=jax.nn.softplus)
+    alg = SDEPINN(chain=chain, x_0=0.2, x_end=3.0, Nt=12, dx=0.07,
+                  distrib=Normal(1.0, 0.1), optimalg=optax.adam(0.01),
+                  lambda_norm=10.0)
+    res, phi, pinnrep = solve_sde_weak(prob, alg, maxiters=3000,
+                                       inner_steps=25)
+    xs = np.linspace(0.3, 2.8, 40)
+    cord = jnp.asarray(np.stack([xs, np.ones_like(xs)]))
+    dens = np.asarray(phi(cord, res.u["depvar"])[0])
+    m = (mu_ - 0.5 * s_**2) * 1.0
+    want = np.exp(-(np.log(xs) - m) ** 2 / (2 * s_**2)) / (
+        xs * s_ * np.sqrt(2 * np.pi))
+    dens_n = dens / np.trapezoid(dens, xs)
+    want_n = want / np.trapezoid(want, xs)
+    assert np.max(np.abs(dens_n - want_n)) < 0.25
