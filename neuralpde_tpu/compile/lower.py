@@ -241,10 +241,18 @@ def _ev_integral(expr: IntegralExpr, env, theta, p, ctx, N):
         vals = jnp.broadcast_to(jnp.asarray(vals), (N * Q,)).reshape(N, Q)
         return jnp.sum(vals * jnp.asarray(wu)[None, :], axis=-1) * scale
 
-    # n-D: static numeric bounds only (tensor rule on the unit cube)
-    for b in expr.lb + expr.ub:
-        if isinstance(b, Expr) and not isinstance(b, Num):
-            raise ValueError("multi-dimensional integrals require constant bounds")
+    # n-D with parametric bounds: rewrite as iterated 1-D integrals
+    # (outermost = first ivar; inner bounds may reference outer ivars,
+    # reference: ProductDomain(UnitInterval(), ClosedInterval(0, x)) in
+    # ide__integrodiff_example_4)
+    if any(isinstance(b, Expr) and not isinstance(b, Num)
+           for b in expr.lb + expr.ub):
+        inner = IntegralExpr(expr.integrand, expr.ivars[1:],
+                             expr.lb[1:], expr.ub[1:])
+        outer = IntegralExpr(inner, expr.ivars[:1], expr.lb[:1], expr.ub[:1])
+        return _ev_integral(outer, env, theta, p, ctx, N)
+
+    # n-D, static numeric bounds: tensor rule on the unit cube
     lbs = np.array([b.value if isinstance(b, Num) else float(b) for b in expr.lb])
     ubs = np.array([b.value if isinstance(b, Num) else float(b) for b in expr.ub])
     nodes_u, weights_u = tensor_rule_unit(ndims, ctx.integral_order, ctx.integral_panels)

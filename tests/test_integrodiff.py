@@ -173,3 +173,53 @@ def test_get_numeric_integral_helper():
     assert vals.shape == (2,)
     # constant bounds -> same integral at both points
     np.testing.assert_allclose(float(vals[0]), float(vals[1]), rtol=1e-10)
+
+
+def test_integrand_with_coefficient():
+    """∫₀ˣ u(s)·cos(s) ds = x³/3 -> u = x²/cos(x)
+    (reference: ide__integrodiff_example_2_1d.jl, MSE < 0.02)."""
+    x = symbols("x")
+    u = DepVar("u")
+    from neuralpde_tpu import cos as ncos
+
+    Ix = Integral(x, 0.0, x)
+    eq = Eq(Ix(u(x) * ncos(x)), x**3 / 3.0)
+    bcs = [Eq(u(0.0), 0.0)]
+    system = PDESystem(eq, bcs, [Domain(x, Interval(0, 1))], [x], [u(x)])
+    disc = PhysicsInformedNN(mlp([1, 15, 1], activation=sigmoid),
+                             GridTraining(0.1), integral_order=10)
+    prob = discretize(system, disc)
+    # L-BFGS like the reference's BFGS (integral-equation gradients are too
+    # diluted for plain Adam here)
+    res = solve(prob, optax.lbfgs(), maxiters=400, inner_steps=10)
+    xs = np.arange(0, 1.0001, 0.01)
+    pred = np.asarray(disc.phi(jnp.asarray(xs[None, :]), res.u["depvar"])[0])
+    want = xs**2 / np.cos(xs)
+    assert np.mean((pred - want) ** 2) < 0.02
+
+
+def test_iterated_integral_parametric_inner_bound():
+    """∫₀¹∫₀ˣ u dy dx = 5/12 with gradient BCs -> u = x + y²
+    (reference: ide__integrodiff_example_4_2_inputs_1_output.jl, MSE < 0.02)
+    — the inner bound references the OUTER integration variable (iterated
+    integral over a triangular region)."""
+    x, y = symbols("x y")
+    u = DepVar("u")
+    Dy = Differential(y)
+    Ix = Integral((x, y), (0.0, 0.0), (1.0, x))
+    eq = Eq(Ix(u(x, y)), 5.0 / 12.0)
+    bcs = [Eq(u(0.0, 0.0), 0.0), Eq(Dy(u(x, y)), 2.0 * y),
+           Eq(u(x, 0.0), x)]
+    system = PDESystem(eq, bcs,
+                       [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))],
+                       [x, y], [u(x, y)])
+    disc = PhysicsInformedNN(mlp([2, 15, 1], activation=sigmoid),
+                             GridTraining(0.1), integral_order=8)
+    prob = discretize(system, disc)
+    res = solve(prob, optax.adam(0.02), maxiters=3000, inner_steps=25)
+    xs = np.linspace(0, 1, 21)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    cord = jnp.asarray(np.stack([X.ravel(), Y.ravel()]))
+    pred = np.asarray(disc.phi(cord, res.u["depvar"])[0])
+    want = (X + Y**2).ravel()
+    assert np.mean((pred - want) ** 2) < 0.02
