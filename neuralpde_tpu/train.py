@@ -16,6 +16,9 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any, Callable
 
+import math
+import warnings
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -170,6 +173,12 @@ def solve(prob, optimizer=None, maxiters: int = 1000, *,
 
             save_checkpoint(checkpoint_dir, carry[0], carry[1], iteration=it)
         if abstol is not None and loss_val < abstol:
+            break
+        if not math.isfinite(loss_val):
+            warnings.warn(
+                f"training diverged (loss={loss_val}) at iteration {it}; "
+                "stopping — consider a lower learning rate, remat=True, or "
+                "utils.profiling.enable_nan_debugging() to locate the source")
             break
 
     theta, opt_state, ada_state, _ = carry

@@ -186,3 +186,21 @@ def test_per_process_batch():
     from neuralpde_tpu.parallel.distributed import per_process_batch
 
     assert per_process_batch(64) == 64  # single process (always divisible)
+
+
+def test_solve_stops_on_divergence():
+    """NaN loss stops training with a warning instead of burning iterations."""
+    import warnings as _w
+    import optax
+    from neuralpde_tpu.solvers.ode import _SimpleProblem
+    from neuralpde_tpu.train import solve as tsolve
+
+    def bad_loss(theta, key):
+        return jnp.log(-jnp.abs(theta["w"]).sum())  # NaN immediately
+
+    prob = _SimpleProblem(bad_loss, {"w": jnp.ones(3)})
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        res = tsolve(prob, optax.adam(0.1), maxiters=500)
+    assert res.iterations < 500
+    assert any("diverged" in str(r.message) for r in rec)
