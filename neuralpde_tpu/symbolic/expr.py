@@ -298,6 +298,29 @@ def _make_fn(opname):
     return f
 
 
+_CUSTOM_DIFF: dict = {}
+
+
+def register_primitive(name: str, fn, deriv=None):
+    """Register a custom unary primitive for use in symbolic expressions
+    (e.g. Bessel functions, as in the reference's nonlinear_hyperbolic
+    example which uses SpecialFunctions.besselj0).
+
+    * fn: JAX-traceable numeric implementation, applied elementwise.
+    * deriv: optional symbolic derivative rule `a -> Expr` giving
+      d fn(a)/d a (the chain-rule factor is applied automatically).
+      Without it the primitive still lowers and evaluates, but
+      `expand_derivatives` raises if a Differential crosses it.
+
+    Returns a builder usable like the built-ins: `j0 = register_primitive(
+    "j0", my_j0); ... j0(x) ...`.
+    """
+    PRIMITIVES[name] = fn
+    if deriv is not None:
+        _CUSTOM_DIFF[name] = deriv
+    return _make_fn(name)
+
+
 sin = _make_fn("sin")
 cos = _make_fn("cos")
 tan = _make_fn("tan")
@@ -359,6 +382,8 @@ def _diff_primitive(op: str, args, dargs):
     }
     if op in table:
         return table[op]()
+    if op in _CUSTOM_DIFF and len(a) == 1:
+        return _CUSTOM_DIFF[op](a[0]) * da[0]
     raise ValueError(f"no symbolic derivative rule for primitive {op!r}")
 
 

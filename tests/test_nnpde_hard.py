@@ -189,3 +189,44 @@ def test_nonlinear_hyperbolic_system():
     ww = (np.exp(-T) * np.cos(X)).ravel()
     assert np.sqrt(np.mean((pu - wu) ** 2)) < 0.05
     assert np.sqrt(np.mean((pw - ww) ** 2)) < 0.05
+
+
+def test_linear_parabolic_system():
+    """Coupled linear parabolic system (reference:
+    docs/src/examples/linear_parabolic.md): u_t = a u_xx + b1 u + c1 w,
+    w_t = a w_xx + b2 u + c2 w, with a manufactured eigenmode solution
+    u = e^{λt} cos x, w = μ e^{λt} cos x where λ + a is an eigenvalue of
+    [[b1, c1], [b2, c2]] and μ the matching eigenvector ratio."""
+    a, b1, c1, b2, c2 = 1.0, 4.0, 3.0, 2.0, 1.0
+    m = (5 - np.sqrt(33)) / 2
+    lam = m - a
+    mu = (m - b1) / c1
+
+    x, t = symbols("x t")
+    u, w = DepVar("u"), DepVar("w")
+    Dt = Differential(t)
+    Dxx = Differential(x) ** 2
+    eqs = [Eq(Dt(u(x, t)), a * Dxx(u(x, t)) + b1 * u(x, t) + c1 * w(x, t)),
+           Eq(Dt(w(x, t)), a * Dxx(w(x, t)) + b2 * u(x, t) + c2 * w(x, t))]
+    bcs = [Eq(u(x, 0.0), npde.cos(x)), Eq(w(x, 0.0), mu * npde.cos(x)),
+           Eq(u(0.0, t), npde.exp(lam * t)),
+           Eq(w(0.0, t), mu * npde.exp(lam * t)),
+           Eq(u(1.0, t), np.cos(1.0) * npde.exp(lam * t)),
+           Eq(w(1.0, t), mu * np.cos(1.0) * npde.exp(lam * t))]
+    system = PDESystem(eqs, bcs,
+                       [Domain(x, Interval(0, 1)), Domain(t, Interval(0, 1))],
+                       [x, t], [u(x, t), w(x, t)])
+    disc = PhysicsInformedNN([mlp([2, 16, 16, 1]), mlp([2, 16, 16, 1])],
+                             GridTraining(0.1))
+    prob = discretize(system, disc)
+    res = solve(prob, optax.adam(0.02), maxiters=4000, inner_steps=25)
+
+    xs = np.linspace(0, 1, 11)
+    X, T = np.meshgrid(xs, xs, indexing="ij")
+    cord = jnp.asarray(np.stack([X.ravel(), T.ravel()]))
+    pu = np.asarray(disc.phi[0](cord, res.u["depvar"]["u"])[0])
+    pw = np.asarray(disc.phi[1](cord, res.u["depvar"]["w"])[0])
+    wu = (np.exp(lam * T) * np.cos(X)).ravel()
+    ww = mu * wu
+    assert np.sqrt(np.mean((pu - wu) ** 2)) < 0.02
+    assert np.sqrt(np.mean((pw - ww) ** 2)) < 0.02

@@ -172,3 +172,30 @@ def test_parameters_helper_and_repr():
     assert repr(a) == "a" and a != b
     e = a * E.sin(x) + 2.0
     assert "sin" in repr(e)
+
+
+def test_register_custom_primitive():
+    """register_primitive adds a numeric op + symbolic derivative rule
+    (reference's nonlinear_hyperbolic.md uses SpecialFunctions Bessel fns)."""
+    from neuralpde_tpu.symbolic.expr import register_primitive, PRIMITIVES
+
+    softplus = register_primitive(
+        "softplus_test", lambda z: jnp.logaddexp(z, 0.0),
+        deriv=lambda a: E.sigmoid(a))
+    try:
+        e = softplus(2.0 * x)
+        # numeric evaluation through the registry
+        got = _eval_at(e, {x: 0.7})
+        assert got == pytest.approx(np.logaddexp(1.4, 0.0), rel=1e-6)
+        # symbolic derivative: d/dx softplus(2x) = 2 sigmoid(2x)
+        de = expand_derivatives(Differential(x)(e))
+        got_d = _eval_at(de, {x: 0.7})
+        want_d = 2.0 / (1.0 + np.exp(-1.4))
+        assert got_d == pytest.approx(want_d, rel=1e-6)
+        # without a deriv rule, differentiation raises
+        plain = register_primitive("opaque_test", lambda z: z * 3.0)
+        with pytest.raises(ValueError, match="no symbolic derivative"):
+            expand_derivatives(Differential(x)(plain(x)))
+    finally:
+        PRIMITIVES.pop("softplus_test", None)
+        PRIMITIVES.pop("opaque_test", None)
