@@ -316,8 +316,8 @@ def symbolic_discretize(pde_system: PDESystem,
         aux = {"pde_losses": pde_losses, "bc_losses": bc_losses,
                "weighted_pde_losses": weighted_pde, "weighted_bc_losses": weighted_bc}
         if additional_loss is not None:
-            theta_, p_ = ((theta["depvar"], theta.get("p"))
-                          if param_estim else (theta, None))
+            theta_ = theta["depvar"]
+            p_ = theta.get("p") if param_estim else None
             add = additional_loss(phi_for_user, theta_, p_)
             w_add = jax.lax.stop_gradient(ada["additional_weights"])[0]
             total = total + w_add * add
