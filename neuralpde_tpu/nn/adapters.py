@@ -12,9 +12,21 @@ transpose at the boundary.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
+from ..config import default_float
 from .core import Module
+
+
+def _cast_to_default_float(params):
+    """Flax/Haiku initialize float32 regardless of jax_enable_x64; cast so
+    adapted params match the framework default (HMC flattening and optimizer
+    states require one consistent dtype)."""
+    dtype = default_float()
+    return jax.tree.map(
+        lambda p: p.astype(dtype) if jnp.issubdtype(p.dtype, jnp.floating)
+        else p, params)
 
 
 class FlaxAdapter(Module):
@@ -40,7 +52,7 @@ class FlaxAdapter(Module):
 
     def init(self, key):
         dummy = jnp.zeros((1, self._in))
-        return self.module.init(key, dummy)
+        return _cast_to_default_float(self.module.init(key, dummy))
 
     def apply(self, params, x):
         y = self.module.apply(params, x.T)  # (N, out)
@@ -70,7 +82,7 @@ class HaikuAdapter(Module):
 
     def init(self, key):
         dummy = jnp.zeros((1, self._in))
-        return self.transformed.init(key, dummy)
+        return _cast_to_default_float(self.transformed.init(key, dummy))
 
     def apply(self, params, x):
         y = self.transformed.apply(params, None, x.T)

@@ -160,3 +160,56 @@ def test_dgm_burgers_traveling_wave():
     cord = jnp.asarray(np.stack([X.ravel(), T.ravel()]))
     pred = np.asarray(disc.phi(cord, res.u["depvar"])[0])
     assert np.max(np.abs(pred - exact(X, T).ravel())) < 0.02
+
+
+def test_nnsde_autodiff_mode():
+    """NNSDE with autodiff=True time derivative (reference:
+    test/NNSDE1/nn_sde__test_1_solve_autodiff.jl): linear SDE
+    du = -u dt + 0.1 dW, weak mean e^{-t}."""
+    from neuralpde_tpu.nn import sigmoid
+    from neuralpde_tpu.solvers.problems import SDEProblem
+    from neuralpde_tpu.solvers.sde import NNSDE, solve_sde
+
+    prob = SDEProblem(f=lambda u, p, t: -u, g=lambda u, p, t: 0.1,
+                      u0=1.0, tspan=(0.0, 1.0))
+    n_z = 3
+    chain = mlp([1 + n_z, 16, 16, 1], activation=sigmoid)
+    alg = NNSDE(chain, optax.adam(0.02), sub_batch=8, numensemble=40,
+                autodiff=True)
+    sol = solve_sde(prob, alg, dt=1 / 50.0, maxiters=1500, abstol=1e-12,
+                    inner_steps=25)
+    ts = np.asarray(sol.timepoints)
+    mean_pred = np.asarray([float(p.mean) for p in sol.estimated_sol[0]])
+    want = np.exp(-ts)
+    assert np.abs(mean_pred - want).mean() < 0.1
+
+
+def test_bpinn_with_flax_adapter_chain():
+    """Bayesian PINN with an adapted Flax chain (reference:
+    bpinn_ode__bpinn_ode_translating_from_flux.jl /
+    bpinn_pde__bpinn_pde_translating_from_flux.jl): the sampler works over
+    any Module, including framework adapters."""
+    import pytest as _pytest
+    flax = _pytest.importorskip("flax")
+    import flax.linen as fnn
+    from neuralpde_tpu import BayesianPINN, cos as npde_cos
+    from neuralpde_tpu.bayesian.pde import ahmc_bayesian_pinn_pde
+    from neuralpde_tpu.nn.adapters import FlaxAdapter
+
+    t = symbols("t")
+    u = DepVar("u")
+    Dt = Differential(t)
+    eq = Eq(Dt(u(t)), npde_cos(2 * np.pi * t))
+    bcs = [Eq(u(0.0), 0.0)]
+    system = PDESystem(eq, bcs, [Domain(t, Interval(0, 1))], [t], [u(t)])
+
+    net = FlaxAdapter(fnn.Sequential([fnn.Dense(10), fnn.sigmoid,
+                                      fnn.Dense(1)]), in_dim=1, out_dim=1)
+    disc = BayesianPINN(net, GridTraining(0.05))
+    sol = ahmc_bayesian_pinn_pde(
+        system, disc, draw_samples=350, bcstd=[0.02], phystd=[0.05],
+        priorsNNw=(0.0, 3.0), saveats=[0.02], n_leapfrog=20)
+    curve = np.asarray(sol.ensemblesol[0].mean)
+    ts = np.asarray(sol.timepoints[0][0])
+    want = np.sin(2 * np.pi * ts) / (2 * np.pi)
+    assert np.sqrt(np.mean((curve - want) ** 2)) < 0.1
