@@ -213,3 +213,64 @@ def test_bpinn_with_flax_adapter_chain():
     ts = np.asarray(sol.timepoints[0][0])
     want = np.sin(2 * np.pi * ts) / (2 * np.pi)
     assert np.sqrt(np.mean((curve - want) ** 2)) < 0.1
+
+
+def test_bpinn_parametric_ks_inverse():
+    """Bayesian inversion of the u_xx coefficient α in the
+    Kuramoto-Sivashinsky equation from noisy half-domain data (reference:
+    bpinn_pde__bpinn_pde_inv_iii_improved_parametric_kuromo_sivashinsky_
+    equation_solve.jl; reference tolerance |α̂−α| < 0.8α, ours is 0.5α and
+    typically lands within 5%).  Uses the collocation likelihood
+    (estim_collocate) with the reference's stds."""
+    import jax
+    from neuralpde_tpu import BayesianPINN, Param
+    from neuralpde_tpu.bayesian.pde import ahmc_bayesian_pinn_pde
+    from neuralpde_tpu.ops.distributions import Normal
+    import neuralpde_tpu as npde
+
+    def u_exact(xe, te):
+        th = np.tanh(-xe / 2.0 + te)
+        return 11 + 15 * th - 15 * th**2 - 15 * th**3
+
+    def u_sym(xe, te):
+        th = npde.tanh(-xe / 2.0 + te)
+        return 11 + 15 * th - 15 * th**2 - 15 * th**3
+
+    def du_sym(xe, te):
+        th = npde.tanh(-xe / 2.0 + te)
+        return 15 / 2.0 * (th + 1) * (3 * th - 1) * (1 - th**2)
+
+    x, t = symbols("x t")
+    u = DepVar("u")
+    alpha = Param("alpha")  # true value 1.0
+    Dt, Dx = Differential(t), Differential(x)
+    Dx2, Dx3, Dx4 = (Differential(x) ** 2, Differential(x) ** 3,
+                     Differential(x) ** 4)
+    eq = Eq(Dt(u(x, t)) + u(x, t) * Dx(u(x, t)) + alpha * Dx2(u(x, t))
+            + 4.0 * Dx3(u(x, t)) + 1.0 * Dx4(u(x, t)), 0.0)
+    bcs = [Eq(u(x, 0.0), u_sym(x, 0.0)),
+           Eq(u(-10.0, t), u_sym(-10.0, t)), Eq(u(10.0, t), u_sym(10.0, t)),
+           Eq(Dx(u(-10.0, t)), du_sym(-10.0, t)),
+           Eq(Dx(u(10.0, t)), du_sym(10.0, t))]
+    system = PDESystem(eq, bcs,
+                       [Domain(x, Interval(-10, 10)),
+                        Domain(t, Interval(0, 1))],
+                       [x, t], [u(x, t)], ps=[alpha])
+
+    rng = np.random.default_rng(0)
+    xs = np.arange(-10, 0 + 1e-9, 0.4)
+    ts = np.arange(0, 1 + 1e-9, 0.1)
+    X, T = np.meshgrid(xs, ts, indexing="ij")
+    us_noisy = u_exact(X, T).ravel() + 0.8 * rng.standard_normal(X.size)
+    dataset_pde = [np.column_stack([us_noisy, X.ravel(), T.ravel()])]
+
+    disc = BayesianPINN(mlp([2, 8, 8, 1], activation=jnp.tanh),
+                        GridTraining([0.4, 0.1]),
+                        dataset=(dataset_pde, None), param_estim=True)
+    sol = ahmc_bayesian_pinn_pde(
+        system, disc, draw_samples=150, bcstd=[0.1] * 5, phystd=[0.2],
+        l2std=[0.8], phynewstd=[0.4], priorsNNw=(0.0, 1.0),
+        param=[Normal(2.0, 2.0)], saveats=[0.4, 0.1], n_leapfrog=30,
+        estim_collocate=True)
+    a_est = float(sol.estimated_de_params[0].mean)
+    assert abs(a_est - 1.0) < 0.5
