@@ -24,6 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 _ACTIVE_MESH: Mesh | None = None
 BATCH_AXIS = "data"
+MODEL_AXIS = "model"
 
 
 def make_mesh(n_devices: int | None = None, axis_name: str = BATCH_AXIS) -> Mesh:
@@ -88,3 +89,70 @@ def replicate_params(params, mesh: Mesh | None = None):
     if mesh is None:
         return params
     return jax.device_put(params, replicated(mesh))
+
+
+def make_mesh_2d(n_data: int, n_model: int) -> Mesh:
+    """2-D (data, model) mesh: collocation batch over `data`, wide layers
+    tensor-parallel over `model`.  Lay `model` on the fast (contiguous) axis
+    so its collectives ride the shortest ICI hops."""
+    devs = jax.devices()
+    if len(devs) < n_data * n_model:
+        devs = jax.devices("cpu")
+    if len(devs) < n_data * n_model:
+        raise ValueError(
+            f"requested {n_data}x{n_model} mesh, have {len(devs)} devices")
+    arr = np.array(devs[:n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(arr, (BATCH_AXIS, MODEL_AXIS))
+
+
+def _layer_index(name: str) -> int | None:
+    if "_" in name:
+        tail = name.rsplit("_", 1)[1]
+        if tail.isdigit():
+            return int(tail)
+    return None
+
+
+def shard_params_tp(params, mesh: Mesh | None = None, axis: str = MODEL_AXIS):
+    """Megatron-style tensor-parallel placement for Dense-chain params:
+    even layers column-parallel (split output features, weight P(model, -),
+    bias P(model, -)), odd layers row-parallel (split input features, weight
+    P(-, model), bias replicated) — GSPMD then inserts one psum per
+    row-parallel layer.  Dims not divisible by the axis size (or leaves that
+    aren't a `layer_<i>` dict of weight/bias) stay replicated.
+    """
+    mesh = mesh or _ACTIVE_MESH
+    if mesh is None or axis not in mesh.shape:
+        return params
+    n = mesh.shape[axis]
+
+    def spec_for(path, leaf):
+        layer = None
+        for entry in path:
+            key = getattr(entry, "key", None)
+            if isinstance(key, str):
+                idx = _layer_index(key)
+                if idx is not None:
+                    layer = idx
+        name = getattr(path[-1], "key", None) if path else None
+        if layer is None or leaf.ndim != 2 or name not in ("weight", "bias"):
+            return P()
+        col_parallel = layer % 2 == 0
+        if name == "weight":
+            if col_parallel and leaf.shape[0] % n == 0:
+                return P(axis, None)
+            if not col_parallel and leaf.shape[1] % n == 0:
+                return P(None, axis)
+            return P()
+        # bias: only the column-parallel (split-output) layers shard it
+        if col_parallel and leaf.shape[0] % n == 0:
+            return P(axis, None)
+        return P()
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    specs = {tuple(p): spec_for(p, l) for p, l in flat}
+
+    def place(path, leaf):
+        return jax.device_put(leaf, NamedSharding(mesh, specs[tuple(path)]))
+
+    return jax.tree_util.tree_map_with_path(place, params)

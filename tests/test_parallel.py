@@ -92,3 +92,41 @@ def test_sharded_grid_training_converges(mesh):
         res = solve(prob, optax.adam(0.05), maxiters=150, inner_steps=25)
     assert np.isfinite(res.objective)
     assert res.objective < res.history[0]
+
+
+def test_tensor_parallel_matches_replicated(mesh):
+    """Megatron-style TP placement on a 2-D (data=4, model=2) mesh: forward
+    and full training-step losses match unsharded execution."""
+    from neuralpde_tpu.parallel.mesh import MODEL_AXIS, make_mesh_2d, shard_params_tp
+
+    mesh2 = make_mesh_2d(4, 2)
+    assert mesh2.shape[BATCH_AXIS] == 4 and mesh2.shape[MODEL_AXIS] == 2
+
+    net = mlp([2, 64, 64, 1])
+    p = net.init(jax.random.key(0))
+    tp = shard_params_tp(p, mesh2)
+    # layer 0 column-parallel, layer 1 row-parallel, output layer replicated
+    assert str(tp["layer_0"]["weight"].sharding.spec) == \
+        str(jax.sharding.PartitionSpec(MODEL_AXIS, None))
+    assert str(tp["layer_1"]["weight"].sharding.spec) == \
+        str(jax.sharding.PartitionSpec(None, MODEL_AXIS))
+
+    x = jnp.linspace(0.0, 1.0, 128).reshape(2, 64)
+    want = net.apply(p, x)
+    with use_mesh(mesh2):
+        got = jax.jit(net.apply)(tp, shard_batch(x))
+    np.testing.assert_allclose(np.asarray(want), np.asarray(got), rtol=1e-12)
+
+    # full PINN loss under combined dp+tp sharding
+    prob, disc = _poisson(StochasticTraining(16 * 4, bcs_points=2 * 4))
+    lstate = {"key": jax.random.key(5),
+              "adaptive": prob.pinnrep.adaloss.init_state(
+                  1, 4, prob.pinnrep.dtype)}
+    cpu0 = jax.devices("cpu")[0]
+    theta_cpu = jax.device_put(prob.init_params, cpu0)
+    loss_single, _ = jax.jit(prob.loss, device=cpu0)(theta_cpu, lstate)
+    with use_mesh(mesh2):
+        prob2, _ = _poisson(StochasticTraining(16 * 4, bcs_points=2 * 4))
+        theta_tp = {"depvar": shard_params_tp(theta_cpu["depvar"], mesh2)}
+        loss_tp, _ = jax.jit(prob2.loss)(theta_tp, lstate)
+    np.testing.assert_allclose(float(loss_single), float(loss_tp), rtol=1e-8)
