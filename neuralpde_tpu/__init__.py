@@ -9,8 +9,8 @@ from .logging_utils import LogOptions, TensorBoardLogger, logscalar, logvector
 from .symbolic.expr import (
     DepVar, Deriv, Differential, Eq, Expr, Integral, IntegralExpr, Num, Param,
     Sym, abs_, acos, asin, atan, cos, cosh, depvars, erf, exp, expand_derivatives,
-    log, parameters, pi, sigmoid, sin, sinh, sqrt, substitute, symbols,
-    symbolic_diff, tan, tanh,
+    log, parameters, pi, register_primitive, sigmoid, sin, sinh, sqrt,
+    substitute, symbols, symbolic_diff, tan, tanh,
 )
 from .symbolic.system import Domain, Interval, PDESystem, in_domain, infimum, supremum
 from .nn.core import (
@@ -33,6 +33,10 @@ from .compile.discretize import (
 from .compile.lower import (
     build_loss_function, build_residual_function, get_argument,
     get_integration_variables, get_numeric_integral, get_variables,
+)
+from .parallel.mesh import (
+    make_mesh, make_mesh_2d, replicate_params, shard_batch, shard_params_tp,
+    use_mesh,
 )
 from .train import SolveResult, solve
 from .utils.pytree import vector_to_parameters, parameters_to_vector
