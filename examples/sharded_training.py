@@ -36,3 +36,19 @@ with use_mesh(mesh):
     res = solve(prob.with_params(theta), optax.adam(2e-2), maxiters=2000,
                 inner_steps=50)
 print(f"final loss {res.objective:.3e}")
+
+# -- variant: 2-D (data, model) mesh with tensor-parallel layers ------------
+# For wide networks, split the layers themselves over a second axis
+# (Megatron column/row alternation; see docs/src/manual/tpu.md):
+if n >= 4 and n % 2 == 0:
+    from neuralpde_tpu import make_mesh_2d, shard_params_tp
+
+    mesh2 = make_mesh_2d(n // 2, 2)
+    with use_mesh(mesh2):
+        disc2 = PhysicsInformedNN(mlp([2, 64, 64, 1]),
+                                  StochasticTraining(512 * n, bcs_points=64 * n))
+        prob2 = discretize(system, disc2)
+        theta2 = {"depvar": shard_params_tp(prob2.init_params["depvar"], mesh2)}
+        res2 = solve(prob2.with_params(theta2), optax.adam(2e-2),
+                     maxiters=500, inner_steps=50)
+    print(f"dp+tp final loss {res2.objective:.3e}")
