@@ -21,6 +21,7 @@ from .strategies import (
     GridTraining, QuadratureTraining, QuasiRandomTraining,
     ResidualAdaptiveTraining, StochasticTraining, TrainingStrategy,
     WeightedIntervalTraining, generate_training_sets, get_bounds,
+    get_loss_function,
 )
 from .adaptive import (
     AbstractAdaptiveLoss, GradientScaleAdaptiveLoss, MiniMaxAdaptiveLoss,

@@ -64,6 +64,27 @@ def get_bounds(domains, eq_args_list, points: int, dtype):
     return bounds
 
 
+def get_loss_function(pinnrep, residual, args=None, strategy=None):
+    """Per-strategy scalar loss for ONE datafree residual — the reference's
+    exported debugging entry (reference: src/NeuralPDE.jl:101-105,
+    src/training_strategies.jl:163-176): given a residual closure
+    ``residual(cord, theta)``, returns ``loss(theta, key) -> scalar`` built by
+    the strategy's point source + reduction.
+
+    ``args`` is the equation's argument layout (defaults to the first PDE's);
+    ``strategy`` defaults to ``pinnrep.strategy``.
+    """
+    from types import SimpleNamespace
+
+    strategy = strategy if strategy is not None else pinnrep.strategy
+    if args is None:
+        args = pinnrep.pde_args[0]
+    shim = SimpleNamespace(dtype=pinnrep.dtype, domains=pinnrep.domains,
+                           pde_args=[list(args)], bc_args=[])
+    pde, _ = strategy.build(shim, [residual], [])
+    return pde[0]
+
+
 class GridTraining(TrainingStrategy):
     """Cartesian grid with spacing `dx` (reference: src/training_strategies.jl:1-15)."""
 
@@ -235,19 +256,34 @@ class WeightedIntervalTraining(TrainingStrategy):
     """ODE-only weighted time-segment sampling
     (reference: src/training_strategies.jl:438-468)."""
 
-    def __init__(self, weights, points: int):
+    def __init__(self, weights, points: int, seed: int | None = None):
         self.weights = np.asarray(weights, dtype=np.float64)
         self.points = points
+        self.seed = seed
+
+    def segment_counts(self) -> np.ndarray:
+        """Per-segment sample counts summing to exactly `points`
+        (largest-remainder apportionment; the reference's `round.(Int, ...)`
+        can over/undershoot — we guarantee the documented total)."""
+        w = self.weights / self.weights.sum()
+        exact = self.points * w
+        counts = np.floor(exact).astype(np.int64)
+        rem = self.points - int(counts.sum())
+        if rem > 0:
+            order = np.argsort(-(exact - counts))
+            counts[order[:rem]] += 1
+        return counts
 
     def sample_times(self, t0: float, t1: float, rng=None) -> np.ndarray:
-        rng = rng or np.random.default_rng(0)
-        w = self.weights / self.weights.sum()
-        n_seg = len(w)
+        """One-shot weighted segment sample (reference semantics: sampled
+        once per solve from fresh entropy, src/training_strategies.jl:456-468;
+        pass `seed` to the constructor for reproducibility)."""
+        rng = rng if rng is not None else np.random.default_rng(self.seed)
+        counts = self.segment_counts()
+        n_seg = len(counts)
         diff = (t1 - t0) / n_seg
-        ts = []
-        for i, wi in enumerate(w):
-            n = int(self.points * wi)
-            ts.append(rng.random(n) * diff + t0 + i * diff)
+        ts = [rng.random(int(n)) * diff + t0 + i * diff
+              for i, n in enumerate(counts)]
         return np.concatenate(ts)
 
     def build(self, pinnrep, datafree_pde, datafree_bc):

@@ -87,12 +87,15 @@ def make_step(loss_fn, optimizer, adaloss=None, pde_loss_fns=(), bc_loss_fns=())
         def value_fn(th):
             return loss_fn(th, lstate)[0]
 
-        try:
-            # linesearch-based optimizers (optax.lbfgs) take extra args
+        if isinstance(optimizer, optax.GradientTransformationExtraArgs):
+            # linesearch-based optimizers (optax.lbfgs) consume value/grad/
+            # value_fn; other ExtraArgs transforms ignore unknown extras.
+            # Dispatch on the type — never by swallowing TypeErrors, which
+            # would hide genuine errors raised inside value_fn/the loss.
             updates, opt_state = optimizer.update(
                 grads, opt_state, theta, value=loss, grad=grads,
                 value_fn=value_fn)
-        except TypeError:
+        else:
             updates, opt_state = optimizer.update(grads, opt_state, theta)
         theta = optax.apply_updates(theta, updates)
         return (theta, opt_state, ada_state, it + 1), (loss, aux)
@@ -108,9 +111,11 @@ def solve(prob, optimizer=None, maxiters: int = 1000, *,
     """Train a `TrainingProblem` (from `discretize`) or any object with
     `.loss(theta, lstate)` and `.init_params`.
 
-    ``checkpoint_dir`` periodically saves params/opt-state/iteration (and once
-    at the end) for preemption-safe long runs; restore with
-    `utils.checkpoint.restore_checkpoint` + `prob.with_params`.
+    ``checkpoint_dir`` makes the run preemption-safe (SURVEY §5
+    "orbax-style retry/restore"): params/opt-state/iteration are saved every
+    `checkpoint_every` iterations (and once at the end), and when the
+    directory already holds a checkpoint, solve() RESUMES from it — iteration
+    count included, so `maxiters` means *total* iterations across restarts.
     ``profile_dir`` captures a jax.profiler trace of the run."""
 
     optimizer = optimizer or optax.adam(1e-3)
@@ -124,6 +129,18 @@ def solve(prob, optimizer=None, maxiters: int = 1000, *,
 
     theta = prob.init_params
     opt_state = optimizer.init(theta)
+    start_iter = 0
+    if checkpoint_dir is not None:
+        from .utils.checkpoint import has_checkpoint, restore_checkpoint
+
+        if has_checkpoint(checkpoint_dir):
+            theta, restored_opt, start_iter = restore_checkpoint(
+                checkpoint_dir, theta, opt_state)
+            if restored_opt is not None:
+                opt_state = restored_opt
+            if verbose:
+                print(f"[solve] resumed from {checkpoint_dir} at iteration "
+                      f"{start_iter}")
     if adaloss is not None:
         ada_state = adaloss.init_state(n_pde, n_bc, dtype)
     else:
@@ -153,10 +170,10 @@ def solve(prob, optimizer=None, maxiters: int = 1000, *,
 
     if profile_dir is not None:
         jax.profiler.start_trace(profile_dir)
-    carry = (theta, opt_state, ada_state, jnp.asarray(0, jnp.int32))
+    carry = (theta, opt_state, ada_state, jnp.asarray(start_iter, jnp.int32))
     history = []
     loss_val, aux = None, {}
-    it = 0
+    it = start_iter
     while it < maxiters:
         carry, (loss, aux) = jit_step(carry, key)
         it += inner_steps

@@ -31,9 +31,12 @@ def export_phi(phi, params, in_dim: int, *, batch: int | None = None,
         spec = jax.ShapeDtypeStruct((in_dim, batch), dtype)
     exported = jax_export.export(jax.jit(fn))(spec)
     blob = exported.serialize()
+    # deserialize ONCE (also round-trip-verifies the blob); `call` closes
+    # over the loaded object instead of re-deserializing per invocation
+    loaded = jax_export.deserialize(blob)
 
     def call(cord):
-        return jax_export.deserialize(blob).call(cord)
+        return loaded.call(cord)
 
     return blob, call
 

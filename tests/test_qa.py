@@ -5,7 +5,8 @@ matches the reference's export list (src/NeuralPDE.jl:90-116), and docstrings
 cite the reference."""
 
 import importlib
-import pkgutil
+
+import pytest
 
 import neuralpde_tpu
 
@@ -62,7 +63,7 @@ REFERENCE_EXPORTS = [
     "GridTraining", "StochasticTraining", "QuadratureTraining",
     "QuasiRandomTraining", "WeightedIntervalTraining",
     "build_residual_function", "build_loss_function",
-    "get_numeric_integral",
+    "get_loss_function", "get_numeric_integral",
     "generate_training_sets", "get_bounds",
     "get_variables", "get_argument", "get_integration_variables",
     "symbolic_discretize", "vector_to_parameters",
