@@ -272,17 +272,54 @@ def _ev_integral(expr: IntegralExpr, env, theta, p, ctx, N):
 # Public entry: build the residual closure for one equation
 # ---------------------------------------------------------------------------
 
-def get_numeric_integral(ctx: LoweringContext, default_p=None):
+def get_numeric_integral(ctx: LoweringContext, default_p=None, *,
+                         adaptive: bool = False, reltol: float = 1e-6,
+                         abstol: float = 1e-3, maxiters: int = 1000):
     """Debugging helper (reference export: src/discretize.jl:332-396): returns
     ``integral(expr, cord, theta, env_syms)`` evaluating an IntegralExpr at the
-    columns of ``cord`` (rows bound to ``env_syms`` in order)."""
+    columns of ``cord`` (rows bound to ``env_syms`` in order).
+
+    ``adaptive=True`` switches 1-D integrals to the runtime h-adaptive
+    host path honoring reltol/abstol/maxiters — per-column adaptive solves
+    exactly as the reference's per-column IntegralProblem loop
+    (src/discretize.jl:387-394).  Host-side and gradient-opaque: use for
+    evaluation parity, not inside a jitted loss."""
+    from ..ops.quadrature import adaptive_quad_1d
+
     p_arr = None if default_p is None else jnp.asarray(default_p)
 
     def integral(expr: IntegralExpr, cord, theta, env_syms: Sequence[Sym]):
         cord = jnp.atleast_2d(jnp.asarray(cord))
         N = cord.shape[1]
-        env = {s.name: cord[i] for i, s in enumerate(env_syms)}
-        return _ev_integral(expr, env, theta, p_arr, ctx, N)
+        if not adaptive:
+            env = {s.name: cord[i] for i, s in enumerate(env_syms)}
+            return _ev_integral(expr, env, theta, p_arr, ctx, N)
+
+        expr_t = transform_inf_integral(expr)
+        if len(expr_t.ivars) != 1:
+            raise ValueError(
+                "adaptive=True supports 1-D integrals (the reference's "
+                "QuadGKJL parity path); use the static tensor rule for n-D")
+        ivar = expr_t.ivars[0].name
+        outs = []
+        for j in range(N):
+            env_j = {s.name: cord[i, j] for i, s in enumerate(env_syms)}
+            lbv = (float(_ev(expr_t.lb[0], env_j, theta, p_arr, ctx, 1))
+                   if isinstance(expr_t.lb[0], Expr) else float(expr_t.lb[0]))
+            ubv = (float(_ev(expr_t.ub[0], env_j, theta, p_arr, ctx, 1))
+                   if isinstance(expr_t.ub[0], Expr) else float(expr_t.ub[0]))
+
+            def f(nodes, env_j=env_j):
+                e = dict(env_j)
+                e[ivar] = jnp.asarray(nodes)
+                v = _ev(expr_t.integrand, e, theta, p_arr, ctx, len(nodes))
+                return np.asarray(jnp.broadcast_to(jnp.asarray(v),
+                                                   (len(nodes),)))
+
+            val, _err = adaptive_quad_1d(f, lbv, ubv, reltol=reltol,
+                                         abstol=abstol, maxiters=maxiters)
+            outs.append(val)
+        return jnp.asarray(np.stack(outs))
 
     return integral
 

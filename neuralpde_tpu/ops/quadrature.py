@@ -71,6 +71,57 @@ def integrate_box(f, lb, ub, order: int = 10, panels: int = 1, dtype=None):
     return jnp.sum(f(x) * w[None, :], axis=-1)
 
 
+def adaptive_quad_1d(f, a: float, b: float, *, reltol: float = 1e-6,
+                     abstol: float = 1e-3, maxiters: int = 1000,
+                     order_low: int = 7, order_high: int = 15):
+    """h-adaptive 1-D quadrature with an embedded Gauss pair error estimate.
+
+    The runtime-adaptivity escape hatch promised for parity with the
+    reference's QuadGKJL/CubatureJLh path (reference:
+    src/training_strategies.jl:406-436, src/discretize.jl:359-360): intervals
+    are bisected greedily (worst error first) until the global error estimate
+    |I_high − I_low| meets ``max(abstol, reltol·|I|)`` or ``maxiters``
+    subinterval evaluations are spent.  Runs on the HOST (eager) — use for
+    evaluation/debugging (`get_numeric_integral(..., adaptive=True)`), not
+    inside a jitted training loss (that is what the static auto-refined rules
+    are for).
+
+    ``f(nodes)`` maps a (Q,) node vector to (..., Q) integrand values.
+    Returns (integral (...,), error_estimate: float).
+    """
+    import heapq
+
+    xl, wl = gauss_legendre(order_low)
+    xh, wh = gauss_legendre(order_high)
+
+    def panel(a0, b0):
+        mid, half = 0.5 * (a0 + b0), 0.5 * (b0 - a0)
+        fh = np.asarray(f(mid + half * xh))
+        fl = np.asarray(f(mid + half * xl))
+        i_h = (fh * wh).sum(-1) * half
+        i_l = (fl * wl).sum(-1) * half
+        return i_h, float(np.max(np.abs(i_h - i_l)))
+
+    total_i, total_err = panel(a, b)
+    heap = [(-total_err, 0, a, b, total_i, total_err)]
+    counter, evals = 1, 1
+    while evals < maxiters:
+        tol = max(abstol, reltol * float(np.max(np.abs(total_i))))
+        if total_err <= tol:
+            break
+        _, _, a0, b0, i0, e0 = heapq.heappop(heap)
+        m = 0.5 * (a0 + b0)
+        i1, e1 = panel(a0, m)
+        i2, e2 = panel(m, b0)
+        total_i = total_i - i0 + i1 + i2
+        total_err = total_err - e0 + e1 + e2
+        heapq.heappush(heap, (-e1, counter, a0, m, i1, e1))
+        heapq.heappush(heap, (-e2, counter + 1, m, b0, i2, e2))
+        counter += 2
+        evals += 2
+    return total_i, total_err
+
+
 def integrate_parametric_1d(f, lb: Array, ub: Array, order: int = 10, panels: int = 1):
     """Batched 1-D integrals with per-column bounds.
 

@@ -50,7 +50,7 @@ def _domain_bounds(domains, dtype):
     return lb, ub
 
 
-def _loss_for_strategy(loss, pde_system, strategy, dtype):
+def _loss_for_strategy(loss, pde_system, strategy, dtype, theta0=None):
     domains = pde_system.domains
     if isinstance(strategy, GridTraining):
         pts = _full_grid(domains, strategy.dx, dtype)
@@ -80,10 +80,20 @@ def _loss_for_strategy(loss, pde_system, strategy, dtype):
     if isinstance(strategy, QuadratureTraining):
         lb = [infimum(d.domain) for d in domains]
         ub = [supremum(d.domain) for d in domains]
-        nodes, weights = tensor_rule_box(lb, ub, strategy.order, strategy.panels)
         area = float(np.prod(np.asarray(ub) - np.asarray(lb)))
-        nodes = jnp.asarray(nodes, dtype=dtype)
-        w = jnp.asarray(weights / area, dtype=dtype)
+
+        def rule(panels):
+            nodes, weights = tensor_rule_box(lb, ub, strategy.order, panels)
+            return (jnp.asarray(nodes, dtype=dtype),
+                    jnp.asarray(weights / area, dtype=dtype))
+
+        integral_at = None
+        if theta0 is not None and strategy.panels is None:
+            def integral_at(panels):
+                n, w_ = rule(panels)
+                return jnp.sum(loss(n, theta0) ** 2 * w_)
+
+        nodes, w = rule(strategy.resolve_panels(integral_at, len(domains)))
         return lambda theta, key: jnp.sum(loss(nodes, theta) ** 2 * w)
     raise TypeError(f"unsupported strategy {type(strategy).__name__}")
 
@@ -94,7 +104,7 @@ def neural_adapter(loss, init_params, pde_system, strategy):
     dtype = default_float()
     if isinstance(loss, (list, tuple)):
         systems = pde_system
-        fns = [_loss_for_strategy(l, s, strategy, dtype)
+        fns = [_loss_for_strategy(l, s, strategy, dtype, theta0=init_params)
                for l, s in zip(loss, systems)]
 
         def total(theta, key):
@@ -102,5 +112,6 @@ def neural_adapter(loss, init_params, pde_system, strategy):
             return sum(f(theta, k) for f, k in zip(fns, keys))
 
         return _AdapterProblem(total, init_params)
-    fn = _loss_for_strategy(loss, pde_system, strategy, dtype)
+    fn = _loss_for_strategy(loss, pde_system, strategy, dtype,
+                            theta0=init_params)
     return _AdapterProblem(fn, init_params)

@@ -136,7 +136,7 @@ def generate_l2_loss_collocate(f, autodiff, dataset, phi, n_output, scalar_u0):
 
 
 def _strategy_loss(strategy, phi, f, autodiff, tspan, p, param_estim, scalar_u0,
-                   dtype):
+                   dtype, theta0=None):
     t0, t1 = float(tspan[0]), float(tspan[1])
 
     if isinstance(strategy, GridTraining):
@@ -159,21 +159,33 @@ def _strategy_loss(strategy, phi, f, autodiff, tspan, p, param_estim, scalar_u0,
             phi, f, autodiff, ts, theta, p, param_estim, scalar_u0)
 
     if isinstance(strategy, QuadratureTraining):
-        nodes, weights = composite_gl_unit(strategy.order, strategy.panels)
-        ts = jnp.asarray(t0 + (t1 - t0) * nodes, dtype=dtype)
-        w = jnp.asarray(weights * (t1 - t0), dtype=dtype)
+        def rule(panels):
+            nodes, weights = composite_gl_unit(strategy.order, panels)
+            return (jnp.asarray(t0 + (t1 - t0) * nodes, dtype=dtype),
+                    jnp.asarray(weights * (t1 - t0), dtype=dtype))
 
-        def loss(theta, key):
-            p_ = theta["p"] if param_estim else p
-            out = phi(ts, theta)
-            u_in = out[0] if scalar_u0 else out
-            fs = _batched_f(f)(jnp.atleast_2d(u_in), p_, ts)
-            dxdt = ode_dfdx(phi, ts, theta, autodiff)
-            pointwise = jnp.sum(_abs2(fs - dxdt), axis=0)  # |residual|² per t
-            # reference integrates abs2(inner_loss) (src/ode_solve.jl:212-216)
-            return jnp.sum(pointwise**2 * w)
+        def make_loss(ts, w):
+            def loss(theta, key=None):
+                p_ = theta["p"] if param_estim else p
+                out = phi(ts, theta)
+                u_in = out[0] if scalar_u0 else out
+                fs = _batched_f(f)(jnp.atleast_2d(u_in), p_, ts)
+                dxdt = ode_dfdx(phi, ts, theta, autodiff)
+                pointwise = jnp.sum(_abs2(fs - dxdt), axis=0)  # |residual|²/t
+                # reference integrates abs2(inner_loss) (src/ode_solve.jl:212-216)
+                return jnp.sum(pointwise**2 * w)
 
-        return loss
+            return loss
+
+        # static auto-refinement honoring reltol/abstol/maxiters (the
+        # reference's QuadGKJL h-adaptive semantics at build time)
+        integral_at = None
+        if theta0 is not None and strategy.panels is None:
+            def integral_at(panels):
+                return make_loss(*rule(panels))(theta0)
+
+        panels = strategy.resolve_panels(integral_at, dim=1)
+        return make_loss(*rule(panels))
 
     if isinstance(strategy, QuasiRandomTraining):
         raise ValueError(
@@ -237,7 +249,8 @@ def solve_ode(prob: ODEProblem, alg: NNODE, *, dt=None, abstol: float = 1e-6,
             "Quadrature loss")
 
     inner_f = _strategy_loss(strategy, phi, prob.f, alg.autodiff, prob.tspan,
-                             prob.p, alg.param_estim, scalar_u0, dtype)
+                             prob.p, alg.param_estim, scalar_u0, dtype,
+                             theta0=theta0)
     l2_data = generate_l2_loss_data(dataset, phi, n_output)
     l2_coll = generate_l2_loss_collocate(prob.f, alg.autodiff, dataset, phi,
                                          n_output, scalar_u0)

@@ -271,7 +271,11 @@ def solve_sde(prob: SDEProblem, alg: NNSDE, *, dt=None, abstol: float = 1e-6,
                                   alg.param_estim, strong, scalar_u0)
         n_orig = strategy.points
     elif isinstance(strategy, QuadratureTraining):
-        nodes, weights = composite_gl_unit(strategy.order, strategy.panels)
+        # static_panels: the SDE loss integrand is stochastic in the KL
+        # coefficients, so successive-rule agreement is not well-defined —
+        # the panel count is pinned (pass `panels=` explicitly to control it)
+        nodes, weights = composite_gl_unit(strategy.order,
+                                           strategy.static_panels)
         ts = jnp.asarray(t0 + (1.0 - t0) * nodes, dtype=dtype)
         w = jnp.asarray(weights * (1.0 - t0), dtype=dtype)
         mk = add_rand_coeff_2 if strong else add_rand_coeff

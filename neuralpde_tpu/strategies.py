@@ -80,7 +80,9 @@ def get_loss_function(pinnrep, residual, args=None, strategy=None):
     if args is None:
         args = pinnrep.pde_args[0]
     shim = SimpleNamespace(dtype=pinnrep.dtype, domains=pinnrep.domains,
-                           pde_args=[list(args)], bc_args=[])
+                           pde_args=[list(args)], bc_args=[],
+                           flat_init_params=getattr(pinnrep,
+                                                    "flat_init_params", None))
     pde, _ = strategy.build(shim, [residual], [])
     return pde[0]
 
@@ -200,27 +202,66 @@ class QuasiRandomTraining(TrainingStrategy):
 
 
 class QuadratureTraining(TrainingStrategy):
-    """Loss = (1/|Ω|)·∫_Ω ‖residual‖² via a static composite Gauss-Legendre
-    tensor rule (reference: src/training_strategies.jl:367-436 uses h-adaptive
-    CubatureJLh; runtime adaptivity is hostile to XLA's static-shape regime, so
-    accuracy is controlled by (order, panels) instead — the documented
-    TPU-native deviation).
+    """Loss = (1/|Ω|)·∫_Ω ‖residual‖² via a composite Gauss-Legendre tensor
+    rule (reference: src/training_strategies.jl:367-436 uses h-adaptive
+    CubatureJLh).  Runtime h-adaptivity is hostile to XLA's static-shape
+    regime, so adaptivity runs at BUILD time instead: with ``panels=None``
+    (the default) the panel count doubles until two successive composite
+    rules agree on the initial-parameter loss integral to
+    ``reltol``/``abstol``, subject to ``(order·panels)^dim <= maxiters``
+    integrand evaluations (the reference's maxiters semantics).  An explicit
+    ``panels`` pins the rule and skips refinement.  Train-time shapes stay
+    static either way.
+
+    For runtime h-adaptive *evaluation* parity (the reference's per-point
+    adaptive integrals) see `ops.quadrature.adaptive_quad_1d` and
+    `compile.lower.get_numeric_integral(..., adaptive=True)`.
     """
 
-    def __init__(self, order: int = 8, panels: int = 4, reltol=1e-6, abstol=1e-3,
-                 maxiters=1000, batch=0):
-        # reltol/abstol/maxiters/batch accepted for API parity; unused.
+    DEFAULT_PANELS = 4  # used when no integrand is available for refinement
+
+    def __init__(self, order: int = 8, panels: int | None = None,
+                 reltol=1e-6, abstol=1e-3, maxiters=1000, batch=0):
         self.order = order
         self.panels = panels
-        self.reltol = reltol
-        self.abstol = abstol
-        self.maxiters = maxiters
-        self.batch = batch
+        self.reltol = float(reltol)
+        self.abstol = float(abstol)
+        self.maxiters = int(maxiters)
+        self.batch = batch  # API parity; batching is implicit in XLA
+
+    @property
+    def static_panels(self) -> int:
+        """Pinned panel count for call sites without a refinement integrand."""
+        return self.panels if self.panels is not None else self.DEFAULT_PANELS
+
+    def resolve_panels(self, integral_at=None, dim: int = 1) -> int:
+        """Static auto-refinement honoring reltol/abstol/maxiters.
+
+        ``integral_at(panels) -> float`` evaluates the loss integral with the
+        given composite-rule panel count (at the initial parameters).  Panels
+        double until two successive rules agree to the tolerances; the node
+        budget ``(order·panels)^dim <= maxiters`` mirrors the reference's
+        max integrand evaluations (src/training_strategies.jl:406-436).
+        """
+        if self.panels is not None:
+            return self.panels
+        if integral_at is None:
+            return self.DEFAULT_PANELS
+        panels = 1
+        prev = float(integral_at(panels))
+        while (self.order * 2 * panels) ** dim <= self.maxiters:
+            cur = float(integral_at(2 * panels))
+            if abs(cur - prev) <= max(self.abstol, self.reltol * abs(cur)):
+                return 2 * panels  # converged; keep the finer rule
+            prev = cur
+            panels *= 2
+        return panels
 
     def build(self, pinnrep, datafree_pde, datafree_bc):
         dtype = pinnrep.dtype
         lo = {d.variables.name: infimum(d.domain) for d in pinnrep.domains}
         hi = {d.variables.name: supremum(d.domain) for d in pinnrep.domains}
+        theta0 = getattr(pinnrep, "flat_init_params", None)
 
         def make(residual, args):
             syms = [a for a in args if isinstance(a, Sym)]
@@ -234,12 +275,24 @@ class QuadratureTraining(TrainingStrategy):
                 return loss
             lb = [lo[s.name] for s in syms]
             ub = [hi[s.name] for s in syms]
-            nodes, weights = tensor_rule_box(lb, ub, self.order, self.panels)
             area = float(np.prod(np.asarray(ub) - np.asarray(lb)))
-            # quadrature cord rows = symbol args only; constant args are
-            # folded into the residual at lowering time (row layout)
-            nodes = shard_batch(jnp.asarray(nodes, dtype=dtype))
-            weights = jnp.asarray(weights / area, dtype=dtype)
+
+            def rule(p):
+                # quadrature cord rows = symbol args only; constant args are
+                # folded into the residual at lowering time (row layout)
+                nodes, weights = tensor_rule_box(lb, ub, self.order, p)
+                return (jnp.asarray(nodes, dtype=dtype),
+                        jnp.asarray(weights / area, dtype=dtype))
+
+            integral_at = None
+            if theta0 is not None and self.panels is None:
+                def integral_at(p):
+                    n, w = rule(p)
+                    return jnp.sum(residual(n, theta0) ** 2 * w)
+
+            panels = self.resolve_panels(integral_at, len(syms))
+            nodes, weights = rule(panels)
+            nodes = shard_batch(nodes)
 
             def loss(theta, key=None):
                 del key
