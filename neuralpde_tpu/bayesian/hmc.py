@@ -99,6 +99,49 @@ def find_good_stepsize(logdensity, q0, key, init_eps=1.0, max_iters=60):
     return float(eps)
 
 
+def find_good_stepsize_traced(logdensity, q0, key, init_eps: float = 1.0,
+                              max_iters: int = 60):
+    """Pure-JAX version of `find_good_stepsize` — vmappable over chains, so
+    warmup initialization for n chains is one XLA program instead of n
+    serial host searches (the round-1 warmup bottleneck)."""
+    grad = jax.grad(logdensity)
+    p0 = jax.random.normal(key, q0.shape)
+    h0 = logdensity(q0) - 0.5 * jnp.sum(p0 * p0)
+    log_half = jnp.log(0.5)
+
+    def h_after(eps):
+        p = p0 + 0.5 * eps * grad(q0)
+        q = q0 + eps * p
+        p = p + 0.5 * eps * grad(q)
+        return logdensity(q) - 0.5 * jnp.sum(p * p)
+
+    eps0 = jnp.asarray(init_eps, dtype=q0.dtype)
+    r0 = h_after(eps0) - h0
+    direction = jnp.where(r0 > log_half, 1.0, -1.0)
+
+    def cond(c):
+        _, done, it = c
+        return (~done) & (it < max_iters)
+
+    def body(c):
+        eps, _, it = c
+        eps_new = eps * (2.0 ** direction)
+        out_of_range = ((eps_new < 1e-10) | (eps_new > 1e7)
+                        | ~jnp.isfinite(eps_new))
+        r = h_after(eps_new) - h0
+        nonfinite = ~jnp.isfinite(r)
+        crossed = (direction == 1.0) != (r > log_half)
+        # host-version semantics: revert on non-finite ratio, clamp on
+        # out-of-range, stop on acceptance crossing 0.5
+        eps_out = jnp.where(nonfinite, eps,
+                            jnp.clip(eps_new, 1e-10, 1e7))
+        return (eps_out, out_of_range | nonfinite | crossed, it + 1)
+
+    eps_f, _, _ = jax.lax.while_loop(
+        cond, body, (eps0, jnp.asarray(False), jnp.asarray(0, jnp.int32)))
+    return eps_f
+
+
 @dataclass
 class SampleResult:
     samples: jnp.ndarray      # (draws, dim)
@@ -239,32 +282,44 @@ def _sample_arrays(logdensity, q0, key, draw_samples, *, kernel="hmc",
     return samples, accept, lvals
 
 
-def sample_chains(logdensity, q0s, key, draw_samples: int = 1000, **kw):
-    """Independent chains vmapped into ONE program — the TPU-native
-    replacement for the reference's Threads.@threads over chains
-    (ext/bpinn/advancedHMC_MCMC.jl:507-540).  Under a device mesh, shard the
-    leading chain axis to run chains on separate chips."""
-    if kw.get("kernel") == "nuts":
-        # NUTS carries data-dependent while_loops; keep chains sequential
-        n = q0s.shape[0]
-        keys = jax.random.split(key, n)
-        outs = []
-        for i in range(n):
-            k1, _ = jax.random.split(keys[i])
-            eps = find_good_stepsize(logdensity, q0s[i], k1)
-            outs.append(sample(logdensity, q0s[i], keys[i], draw_samples,
-                               init_step_size=eps, **kw).samples)
-        return jnp.stack(outs)
+def sample_chains(logdensity, q0s, key, draw_samples: int = 1000, *,
+                  mesh=None, chain_axis: str = "data", **kw):
+    """Independent chains — stepsize search, warmup, and sampling for ALL
+    kernels (HMC/HMCDA/NUTS; NUTS tree-building while_loops batch legally
+    under vmap) — compiled into ONE XLA program.  The TPU-native replacement
+    for the reference's Threads.@threads over chains
+    (ext/bpinn/advancedHMC_MCMC.jl:507-540).
 
+    Pass ``mesh`` (a jax.sharding.Mesh) to shard the leading chain axis over
+    ``chain_axis`` so chains run on separate devices; results are bit-exact
+    vs the unsharded program (tests/test_parallel.py)."""
+    kernel = kw.get("kernel", "hmc")
     n = q0s.shape[0]
     keys = jax.random.split(key, n)
-    eps0 = jnp.asarray([find_good_stepsize(logdensity, q0s[i],
-                                           jax.random.split(keys[i])[0])
-                        for i in range(n)])
 
-    def one(q0, k, eps):
-        return _sample_arrays(logdensity, q0, k, draw_samples,
-                              init_step_size=eps, **kw)
+    if kernel == "nuts":
+        from .nuts import _nuts_arrays
 
-    samples, _, _ = jax.vmap(one)(q0s, keys, eps0)
+        kw2 = {k: v for k, v in kw.items()
+               if k not in ("kernel", "n_leapfrog", "lam")}
+
+        def one(q0, k):
+            k1, k2 = jax.random.split(k)
+            eps = find_good_stepsize_traced(logdensity, q0, k1)
+            return _nuts_arrays(logdensity, q0, k2, draw_samples,
+                                init_step_size=eps, **kw2)
+    else:
+        def one(q0, k):
+            k1, k2 = jax.random.split(k)
+            eps = find_good_stepsize_traced(logdensity, q0, k1)
+            return _sample_arrays(logdensity, q0, k2, draw_samples,
+                                  init_step_size=eps, **kw)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        q0s = jax.device_put(q0s, NamedSharding(mesh, P(chain_axis, None)))
+        keys = jax.device_put(keys, NamedSharding(mesh, P(chain_axis)))
+
+    samples, _, _ = jax.jit(jax.vmap(one))(q0s, keys)
     return samples

@@ -58,13 +58,29 @@ def nuts_sample(logdensity, q0, key, draw_samples: int = 1000, *,
                 n_adapt: int | None = None, init_step_size: float | None = None,
                 delta_max: float = 1000.0):
     q0 = jnp.asarray(q0)
-    dim = q0.shape[0]
-    n_adapt = n_adapt if n_adapt is not None else (2 * draw_samples) // 3
-    value_and_grad = jax.value_and_grad(logdensity)
-
     if init_step_size is None:
         key, sub = jax.random.split(key)
         init_step_size = find_good_stepsize(logdensity, q0, sub)
+    samples, accept, lvals, eps_f, inv_mass_f = _nuts_arrays(
+        logdensity, q0, key, draw_samples, target_accept=target_accept,
+        max_depth=max_depth, n_adapt=n_adapt, init_step_size=init_step_size,
+        delta_max=delta_max, return_state=True)
+    return SampleResult(samples=samples, accept_prob=accept,
+                        step_size=float(eps_f), inv_mass=inv_mass_f,
+                        logdensities=lvals)
+
+
+def _nuts_arrays(logdensity, q0, key, draw_samples: int = 1000, *,
+                 target_accept: float = 0.8, max_depth: int = 10,
+                 n_adapt: int | None = None, init_step_size=1.0,
+                 delta_max: float = 1000.0, return_state: bool = False):
+    """Array-only NUTS core (vmappable across chains — tree-building
+    while_loops batch legally under vmap, so n chains trace into one XLA
+    program; cf. sample_chains)."""
+    q0 = jnp.asarray(q0)
+    dim = q0.shape[0]
+    n_adapt = n_adapt if n_adapt is not None else (2 * draw_samples) // 3
+    value_and_grad = jax.value_and_grad(logdensity)
 
     def leapfrog(leaf: _Leaf, eps, inv_mass, direction):
         e = eps * direction
@@ -248,6 +264,6 @@ def nuts_sample(logdensity, q0, key, draw_samples: int = 1000, *,
     carry0 = (q0, da0, jnp.ones(dim), welford0)
     (qf, daf, inv_mass_f, _), (samples, accept, lvals) = jax.lax.scan(
         body, carry0, (jnp.arange(draw_samples), keys))
-    return SampleResult(samples=samples, accept_prob=accept,
-                        step_size=float(jnp.exp(daf.log_eps_avg)),
-                        inv_mass=inv_mass_f, logdensities=lvals)
+    if return_state:
+        return samples, accept, lvals, jnp.exp(daf.log_eps_avg), inv_mass_f
+    return samples, accept, lvals

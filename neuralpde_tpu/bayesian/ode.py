@@ -175,7 +175,7 @@ def ahmc_bayesian_pinn_ode(
         param=(), nchains: int = 1, autodiff: bool = False, Kernel: str = "hmc",
         n_leapfrog: int = 30, target_accept: float = 0.8, max_depth: int = 10,
         lam: float = 1.0, estim_collocate: bool = False, seed: int = 0,
-        progress: bool = False, verbose: bool = False):
+        mesh=None, progress: bool = False, verbose: bool = False):
     """Reference: ext/bpinn/advancedHMC_MCMC.jl:390-581.  Returns
     (samples (chains kept as axis when nchains>1), sampler_stats, ltd)."""
     dataset = dataset or []
@@ -230,7 +230,7 @@ def ahmc_bayesian_pinn_ode(
         samples = hmc.sample_chains(ltd, jnp.stack(q0s), key, draw_samples,
                                     kernel=Kernel, n_leapfrog=n_leapfrog,
                                     target_accept=target_accept, lam=lam,
-                                    max_depth=max_depth)
+                                    max_depth=max_depth, mesh=mesh)
         return samples, None, ltd
     res = hmc.sample(ltd, theta0, key, draw_samples, kernel=Kernel,
                      n_leapfrog=n_leapfrog, target_accept=target_accept,

@@ -292,7 +292,7 @@ def ahmc_bayesian_pinn_pde(
         priorsNNw=(0.0, 2.0), param=(), nchains: int = 1, Kernel: str = "hmc",
         n_leapfrog: int = 30, target_accept: float = 0.8, max_depth: int = 10,
         saveats=(1 / 10.0,), numensemble: int | None = None, seed: int = 0,
-        estim_collocate: bool = False,
+        estim_collocate: bool = False, mesh=None,
         progress: bool = False, verbose: bool = False) -> BPINNsolution:
     """(reference: ext/bpinn/PDE_BPINN.jl:371-635).
 
@@ -345,18 +345,23 @@ def ahmc_bayesian_pinn_pde(
 
     key = jax.random.key(seed + 1)
     if nchains > 1:
+        # all chains sample in ONE vmapped XLA program (the reference runs
+        # Threads.@threads per chain, ext/bpinn/PDE_BPINN.jl:548); ``mesh``
+        # shards the chain axis over devices
+        q0s = jnp.stack([
+            jnp.concatenate([jax.random.normal(jax.random.key(seed + 100 + i),
+                                               (ltd.n_nn,)),
+                             theta0[ltd.n_nn:]])
+            for i in range(nchains)])
+        chains = hmc.sample_chains(ltd, q0s, key, draw_samples, kernel=Kernel,
+                                   n_leapfrog=n_leapfrog,
+                                   target_accept=target_accept,
+                                   max_depth=max_depth, mesh=mesh)
         sols = []
         for i in range(nchains):
-            k = jax.random.key(seed + 100 + i)
-            q0 = jnp.concatenate([jax.random.normal(k, (ltd.n_nn,)),
-                                  theta0[ltd.n_nn:]])
-            res = hmc.sample(ltd, q0, jax.random.fold_in(key, i),
-                             draw_samples, kernel=Kernel,
-                             n_leapfrog=n_leapfrog,
-                             target_accept=target_accept, max_depth=max_depth)
-            curves, est_nn, est_p, tp = inference(res.samples, pinnrep,
+            curves, est_nn, est_p, tp = inference(chains[i], pinnrep,
                                                   saveats, numensemble, ltd)
-            sols.append(BPINNsolution(BPINNstats(None, res.samples, res.stats),
+            sols.append(BPINNsolution(BPINNstats(None, chains[i], None),
                                       curves, est_nn, est_p, tp))
         return sols
 

@@ -1,0 +1,121 @@
+"""Bayesian chain parallelism (VERDICT r1 item 3): NUTS vmapped across
+chains, batched step-size search, chains sharded over the device mesh
+(reference runs Threads.@threads per chain,
+ext/bpinn/advancedHMC_MCMC.jl:507-540 / ext/bpinn/PDE_BPINN.jl:548)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from neuralpde_tpu.bayesian import hmc
+from neuralpde_tpu.parallel.mesh import make_mesh
+
+
+def _gauss_logdensity(mean, var):
+    def logdensity(q):
+        return -0.5 * jnp.sum((q - mean) ** 2) / var
+
+    return logdensity
+
+
+def test_find_good_stepsize_traced_matches_host():
+    ld = _gauss_logdensity(1.5, 0.25)
+    q0 = jnp.asarray([0.3, -0.7, 2.0])
+    for s in range(3):
+        key = jax.random.key(s)
+        host = hmc.find_good_stepsize(ld, q0, key)
+        traced = float(hmc.find_good_stepsize_traced(ld, q0, key))
+        assert np.isclose(host, traced), (s, host, traced)
+
+
+def test_find_good_stepsize_traced_vmaps():
+    ld = _gauss_logdensity(0.0, 1.0)
+    q0s = jnp.stack([jnp.zeros(4), jnp.ones(4), -2.0 * jnp.ones(4)])
+    keys = jax.random.split(jax.random.key(0), 3)
+    eps = jax.jit(jax.vmap(lambda q, k: hmc.find_good_stepsize_traced(
+        ld, q, k)))(q0s, keys)
+    assert eps.shape == (3,)
+    assert bool(jnp.all(jnp.isfinite(eps))) and bool(jnp.all(eps > 0))
+
+
+@pytest.mark.parametrize("kernel", ["hmc", "nuts"])
+def test_chains_recover_gaussian(kernel):
+    """All chains sample in one program and recover the target moments."""
+    mean, var = 2.0, 0.5
+    ld = _gauss_logdensity(mean, var)
+    q0s = jnp.stack([jnp.zeros(3), jnp.ones(3), -jnp.ones(3), 2 * jnp.ones(3)])
+    samples = hmc.sample_chains(ld, q0s, jax.random.key(1), 800, kernel=kernel)
+    assert samples.shape == (4, 800, 3)
+    tail = np.asarray(samples[:, 400:, :])
+    assert abs(tail.mean() - mean) < 0.15
+    assert abs(tail.var() - var) < 0.2
+
+
+@pytest.mark.parametrize("kernel", ["hmc", "nuts"])
+def test_chains_over_mesh_matches_unsharded(kernel):
+    """Chains sharded over an 8-device mesh reproduce the unsharded program.
+
+    Per-step arithmetic agrees to ULP level (the device layout changes SIMD
+    vectorization widths, a ~1e-15 reduction-order effect); a Hamiltonian
+    trajectory amplifies that chaotically over draws — the same behavior as
+    changing XLA versions — so the assertions are (a) machine-precision
+    agreement over the first draws and (b) identical stationary statistics,
+    with the chain axis genuinely distributed over all 8 devices."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    ld = _gauss_logdensity(0.5, 1.0)
+    q0s = jnp.stack([0.1 * i * jnp.ones(3) for i in range(8)])
+    key = jax.random.key(7)
+    plain = hmc.sample_chains(ld, q0s, key, 400, kernel=kernel)
+    mesh = make_mesh(8)
+    sharded = hmc.sample_chains(ld, q0s, key, 400, kernel=kernel, mesh=mesh)
+    # the chain axis really is distributed
+    assert len({d for d in sharded.devices()}) == 8
+    np.testing.assert_allclose(np.asarray(plain[:, :3]),
+                               np.asarray(sharded[:, :3]),
+                               rtol=0.0, atol=1e-12)
+    p_tail = np.asarray(plain[:, 200:])
+    s_tail = np.asarray(sharded[:, 200:])
+    # both estimate the same target moments (MC noise at this sample count)
+    assert abs(p_tail.mean() - 0.5) < 0.1 and abs(s_tail.mean() - 0.5) < 0.1
+    assert abs(p_tail.var() - 1.0) < 0.2 and abs(s_tail.var() - 1.0) < 0.2
+
+
+def test_nuts_chains_match_single_chain_quality():
+    """Vmapped NUTS matches the statistical quality of the sequential
+    single-chain sampler (same warmup schedule)."""
+    ld = _gauss_logdensity(-1.0, 2.0)
+    res_single = hmc.sample(ld, jnp.zeros(2), jax.random.key(3), 600,
+                            kernel="nuts")
+    q0s = jnp.zeros((2, 2))
+    chains = hmc.sample_chains(ld, q0s, jax.random.key(3), 600, kernel="nuts")
+    m_single = float(np.asarray(res_single.samples[300:]).mean())
+    m_chains = float(np.asarray(chains[:, 300:]).mean())
+    assert abs(m_single + 1.0) < 0.25
+    assert abs(m_chains + 1.0) < 0.25
+
+
+def test_pde_nchains_vmapped():
+    """ahmc_bayesian_pinn_pde nchains>1 returns one solution per chain from
+    the single vmapped program."""
+    import neuralpde_tpu as npde
+    from neuralpde_tpu import (
+        BayesianPINN, DepVar, Differential, Domain, Eq, GridTraining,
+        Interval, PDESystem, ahmc_bayesian_pinn_pde, mlp, symbols,
+    )
+
+    x = symbols("x")
+    u = DepVar("u")
+    Dx = Differential(x)
+    eq = Eq(Dx(u(x)), -u(x))
+    bcs = [Eq(u(0.0), 1.0)]
+    system = PDESystem(eq, bcs, [Domain(x, Interval(0, 1))], [x], [u(x)])
+    disc = BayesianPINN(mlp([1, 8, 1]), GridTraining(0.1))
+    sols = ahmc_bayesian_pinn_pde(system, disc, draw_samples=80, nchains=2,
+                                  saveats=(0.1,), phystd=(0.05,),
+                                  bcstd=(0.05,))
+    assert isinstance(sols, list) and len(sols) == 2
+    for s in sols:
+        assert s.original.samples.shape[0] == 80
+        assert np.all(np.isfinite(np.asarray(s.ensemblesol[0].mean)))
