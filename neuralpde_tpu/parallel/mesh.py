@@ -70,7 +70,12 @@ def shard_batch(x):
     """Annotate/place a (dim, N) collocation matrix as batch-sharded under the
     active mesh.  No-op when no mesh is active or N doesn't divide the axis.
 
-    Inside jit -> `with_sharding_constraint`; outside -> `device_put`.
+    Uses `with_sharding_constraint`, which works both eagerly (placement,
+    like device_put) and while tracing.  IMPORTANT: a concrete array closed
+    over by a jitted function is baked in as a REPLICATED constant regardless
+    of its eager placement, so deterministic strategies must call this again
+    INSIDE their loss (in-trace) for the sharding to survive jit — see
+    strategies._mean_sq_loss.
     """
     mesh = _ACTIVE_MESH
     if mesh is None:
@@ -79,9 +84,7 @@ def shard_batch(x):
     if x.ndim < 2 or x.shape[-1] % n_axis != 0:
         return x
     sharding = NamedSharding(mesh, P(*([None] * (x.ndim - 1)), BATCH_AXIS))
-    if isinstance(x, jax.core.Tracer):
-        return jax.lax.with_sharding_constraint(x, sharding)
-    return jax.device_put(x, sharding)
+    return jax.lax.with_sharding_constraint(x, sharding)
 
 
 def replicate_params(params, mesh: Mesh | None = None):

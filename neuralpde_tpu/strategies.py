@@ -109,7 +109,10 @@ def _mean_sq_loss(residual, train_set):
 
     def loss(theta, key=None):
         del key
-        return jnp.mean(residual(train_set, theta) ** 2)
+        # re-constrain in-trace: a closed-over array bakes into jit as a
+        # REPLICATED constant, so the batch sharding must be asserted inside
+        # the traced loss for GSPMD to partition the grid
+        return jnp.mean(residual(shard_batch(train_set), theta) ** 2)
 
     return loss
 
@@ -192,7 +195,7 @@ class QuasiRandomTraining(TrainingStrategy):
 
             def loss(theta, key):
                 idx = jax.random.randint(key, (), 0, self.minibatch)
-                return jnp.mean(residual(batch[idx], theta) ** 2)
+                return jnp.mean(residual(shard_batch(batch[idx]), theta) ** 2)
 
             return loss
 
@@ -296,7 +299,9 @@ class QuadratureTraining(TrainingStrategy):
 
             def loss(theta, key=None):
                 del key
-                return jnp.sum(residual(nodes, theta) ** 2 * weights)
+                # in-trace constraint (see _mean_sq_loss)
+                return jnp.sum(residual(shard_batch(nodes), theta) ** 2
+                               * weights)
 
             return loss
 

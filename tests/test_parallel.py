@@ -130,3 +130,24 @@ def test_tensor_parallel_matches_replicated(mesh):
         theta_tp = {"depvar": shard_params_tp(theta_cpu["depvar"], mesh2)}
         loss_tp, _ = jax.jit(prob2.loss)(theta_tp, lstate)
     np.testing.assert_allclose(float(loss_single), float(loss_tp), rtol=1e-8)
+
+
+def test_grid_training_sharding_survives_jit():
+    """Regression (r2): a GridTraining train set closed over by the jitted
+    loss used to bake in as a REPLICATED constant — the grid path was never
+    actually partitioned.  The in-trace with_sharding_constraint must put
+    GSPMD collectives (all-reduce for the mean + grad psum) in the HLO."""
+    from neuralpde_tpu import GridTraining
+
+    mesh = make_mesh(8)
+    with use_mesh(mesh):
+        # 16 grid points per axis-arg (dx=1/15) divide the 8-way data axis
+        prob, _ = _poisson(GridTraining(1.0 / 15.0))
+        lstate = {"key": jax.random.key(0),
+                  "adaptive": prob.pinnrep.adaloss.init_state(
+                      1, 4, prob.pinnrep.dtype)}
+        theta = replicate_params(prob.init_params, mesh)
+        hlo = (jax.jit(lambda th: prob.loss(th, lstate)[0])
+               .lower(theta).compile().as_text())
+    assert "all-reduce" in hlo, \
+        "grid train set was baked in replicated; sharding lost under jit"
