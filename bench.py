@@ -19,7 +19,16 @@ import time
 
 import numpy as np
 
-BASELINE_POINTS_PER_SEC = 2.5e5  # estimated CPU Julia reference (see docstring)
+# MEASURED baseline denominator (VERDICT r1 item 6; see measure_cpu_baseline
+# and BASELINE.md): the reference-equivalent workload — 2x64x64x1 MLP
+# 2D-Poisson residual with the FD-stencil derivative path (the reference's
+# numeric_derivative), float64 (the reference's default eltype), full
+# value_and_grad + Adam update — timed on one CPU core of this host via
+# `python bench.py --baseline`.  Measured 2026-08-16: 6.82e4 points/sec
+# (FD was the FASTEST of the f64 CPU variants: fd 6.82e4 / jvp 5.61e4 /
+# jet 5.26e4, so this is the conservative choice).  Replaces round 1's
+# 2.5e5 ESTIMATE, which overstated single-core CPU throughput ~3.7x.
+BASELINE_POINTS_PER_SEC = 6.82e4
 
 # batch swept on v5e: 8192 -> 33M pts/s, 32768 -> 82M, 131072 -> 64M
 BATCH = 32768
@@ -155,6 +164,72 @@ def burgers_points_per_sec():
     }))
 
 
+def measure_cpu_baseline(batch: int = 4096, steps: int = 5):
+    """Measure the baseline denominator (VERDICT r1 item 6): the reference's
+    workload class — 2D Poisson residual on a 2x64x64x1 MLP with the
+    FD-stencil derivative path (the reference's numeric_derivative,
+    src/pinn_types.jl:421-458), float64 (the reference's default eltype,
+    src/discretize.jl:430-447), full gradient + Adam step — on ONE CPU core.
+    This is the measurable stand-in for single-core CPU Julia; prints the
+    points/sec to stdout as one JSON line."""
+    import os
+
+    os.environ.setdefault("XLA_FLAGS", "")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import optax
+
+    import neuralpde_tpu as npde
+    from neuralpde_tpu import (
+        DepVar, Differential, Domain, Eq, Interval, PDESystem,
+        PhysicsInformedNN, StochasticTraining, discretize, mlp, symbols,
+    )
+    from neuralpde_tpu.train import make_step
+
+    x, y = symbols("x y")
+    u = DepVar("u")
+    Dxx = Differential(x) ** 2
+    Dyy = Differential(y) ** 2
+    eq = Eq(Dxx(u(x, y)) + Dyy(u(x, y)),
+            -npde.sin(np.pi * x) * npde.sin(np.pi * y))
+    bcs = [Eq(u(0.0, y), 0.0), Eq(u(1.0, y), 0.0),
+           Eq(u(x, 0.0), 0.0), Eq(u(x, 1.0), 0.0)]
+    system = PDESystem(eq, bcs,
+                       [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))],
+                       [x, y], [u(x, y)])
+    disc = PhysicsInformedNN(mlp([2, HIDDEN, HIDDEN, 1]),
+                             StochasticTraining(batch, bcs_points=batch // 8),
+                             derivative="fd", dtype=jnp.float64)
+    prob = discretize(system, disc)
+    opt = optax.adam(1e-3)
+    lf = prob.pinnrep.loss_functions
+    step = make_step(prob.loss, opt, prob.pinnrep.adaloss,
+                     lf.pde_loss_functions, lf.bc_loss_functions)
+    theta = prob.init_params
+    ada = prob.pinnrep.adaloss.init_state(1, 4, jnp.float64)
+    carry = (theta, opt.init(theta), ada, jnp.asarray(0, jnp.int32))
+    key = jax.random.key(0)
+    jit_step = jax.jit(step)
+    carry, (loss, _) = jit_step(carry, key)   # compile + warmup
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        carry, (loss, _) = jit_step(carry, key)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    pps = (batch + 4 * (batch // 8)) * steps / dt
+    print(json.dumps({
+        "metric": "cpu_f64_fd_2d_poisson_points_per_sec",
+        "value": round(pps, 1),
+        "unit": "points/sec",
+        "note": "measured baseline denominator (single CPU core)",
+    }))
+    return pps
+
+
 def main():
     import jax
 
@@ -230,5 +305,7 @@ if __name__ == "__main__":
         time_to_l2()
     elif "--burgers" in sys.argv:
         burgers_points_per_sec()
+    elif "--baseline" in sys.argv:
+        measure_cpu_baseline()
     else:
         main()
