@@ -39,7 +39,7 @@ from .parallel.mesh import (
     make_mesh, make_mesh_2d, replicate_params, shard_batch, shard_params_tp,
     use_mesh,
 )
-from .train import SolveResult, solve
+from .train import SolveResult, solve, solve_hybrid
 from .utils.pytree import vector_to_parameters, parameters_to_vector
 from .nn.dgm import DGM, DGMLSTMLayer
 from .nn.deeponet import DeepONet

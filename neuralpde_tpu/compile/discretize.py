@@ -72,7 +72,7 @@ class PhysicsInformedNN:
                  adaptive_loss: AbstractAdaptiveLoss | None = None,
                  logger=None, log_options: LogOptions | None = None,
                  seed: int = 0, integral_order: int = 20, integral_panels: int = 1,
-                 dtype=None, remat: bool = False):
+                 dtype=None, remat: bool = False, loss_accum_dtype=None):
         self.multioutput = isinstance(chain, (list, tuple))
         self.chain = list(chain) if self.multioutput else chain
         self.strategy = strategy
@@ -93,6 +93,10 @@ class PhysicsInformedNN:
         # rematerialize residual activations in the backward pass — trades
         # FLOPs for HBM at very large collocation batches
         self.remat = remat
+        # f32 network evals with a wider (e.g. jnp.float64) loss reduction:
+        # the stiff-inverse-problem mitigation for TPU, where end-to-end f64
+        # is software-emulated (SURVEY hard-part #4; measured in PERF.md)
+        self.loss_accum_dtype = loss_accum_dtype
         chains = self.chain if self.multioutput else [self.chain]
         self.phi = [Phi(c) for c in chains] if self.multioutput else Phi(self.chain)
 
@@ -152,6 +156,7 @@ class PINNRepresentation:
     pde_args: list = field(default_factory=list)
     bc_args: list = field(default_factory=list)
     dtype: Any = None
+    loss_accum_dtype: Any = None
     log_options: LogOptions = field(default_factory=LogOptions)
     integral: Any = None
     symbolic_pde_loss_functions: list = field(default_factory=list)
@@ -264,6 +269,7 @@ def symbolic_discretize(pde_system: PDESystem,
         pde_integration_vars=[get_integration_variables(eq) for eq in eqs],
         bc_integration_vars=[get_integration_variables(bc) for bc in bcs],
         pde_args=pde_args, bc_args=bc_args, dtype=dtype,
+        loss_accum_dtype=discretization.loss_accum_dtype,
         log_options=discretization.log_options,
     )
 

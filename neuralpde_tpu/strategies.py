@@ -25,6 +25,27 @@ class TrainingStrategy:
     pass
 
 
+def _msq(r, acc=None):
+    """mean(r²), optionally ACCUMULATED in a wider dtype (`acc`, e.g.
+    float64): f32 network/residual evals with f64 loss reduction — the
+    mitigation for stiff inverse problems where f64 end-to-end is ~100×
+    slower on TPU (MXU is f32/bf16; SURVEY hard-part #4, measured in
+    PERF.md)."""
+    sq = r * r
+    if acc is not None:
+        sq = sq.astype(acc)
+    return jnp.mean(sq)
+
+
+def _wsum_sq(r, w, acc=None):
+    """sum(r²·w) with optional wide-dtype accumulation (quadrature loss)."""
+    sq = r * r
+    if acc is not None:
+        sq = sq.astype(acc)
+        w = w.astype(acc)
+    return jnp.sum(sq * w)
+
+
 def julia_range(a: float, b: float, dx: float) -> np.ndarray:
     """Julia `a:dx:b` — inclusive of b when it lands on the grid."""
     n = int(np.floor((b - a) / dx + 1e-10)) + 1
@@ -99,12 +120,13 @@ class GridTraining(TrainingStrategy):
             pinnrep.domains, self.dx, pinnrep.pde_args, dtype)
         bc_sets = generate_training_sets(
             pinnrep.domains, self.dx, pinnrep.bc_args, dtype)
-        pde = [_mean_sq_loss(f, s) for f, s in zip(datafree_pde, pde_sets)]
-        bc = [_mean_sq_loss(f, s) for f, s in zip(datafree_bc, bc_sets)]
+        acc = getattr(pinnrep, "loss_accum_dtype", None)
+        pde = [_mean_sq_loss(f, s, acc) for f, s in zip(datafree_pde, pde_sets)]
+        bc = [_mean_sq_loss(f, s, acc) for f, s in zip(datafree_bc, bc_sets)]
         return pde, bc
 
 
-def _mean_sq_loss(residual, train_set):
+def _mean_sq_loss(residual, train_set, acc=None):
     train_set = shard_batch(train_set)
 
     def loss(theta, key=None):
@@ -112,7 +134,7 @@ def _mean_sq_loss(residual, train_set):
         # re-constrain in-trace: a closed-over array bakes into jit as a
         # REPLICATED constant, so the batch sharding must be asserted inside
         # the traced loss for GSPMD to partition the grid
-        return jnp.mean(residual(shard_batch(train_set), theta) ** 2)
+        return _msq(residual(shard_batch(train_set), theta), acc)
 
     return loss
 
@@ -129,12 +151,14 @@ class StochasticTraining(TrainingStrategy):
         pde_bounds = get_bounds(pinnrep.domains, pinnrep.pde_args, self.points, dtype)
         bc_bounds = get_bounds(pinnrep.domains, pinnrep.bc_args, self.points, dtype)
 
+        acc = getattr(pinnrep, "loss_accum_dtype", None)
+
         def make(residual, bound, n):
             lb, ub = bound
 
             def loss(theta, key):
                 pts = shard_batch(sampling.uniform_random(key, n, lb, ub, dtype=dtype))
-                return jnp.mean(residual(pts, theta) ** 2)
+                return _msq(residual(pts, theta), acc)
 
             return loss
 
@@ -164,6 +188,7 @@ class QuasiRandomTraining(TrainingStrategy):
 
     def build(self, pinnrep, datafree_pde, datafree_bc):
         dtype = pinnrep.dtype
+        acc = getattr(pinnrep, "loss_accum_dtype", None)
         pde_bounds = get_bounds(pinnrep.domains, pinnrep.pde_args, self.points, dtype)
         bc_bounds = get_bounds(pinnrep.domains, pinnrep.bc_args, self.points, dtype)
 
@@ -186,7 +211,7 @@ class QuasiRandomTraining(TrainingStrategy):
             if self.resampling:
                 def loss(theta, key):
                     pts = shard_batch(jax.lax.stop_gradient(s(key)))
-                    return jnp.mean(residual(pts, theta) ** 2)
+                    return _msq(residual(pts, theta), acc)
                 return loss
             if self.minibatch <= 0:
                 raise ValueError("minibatch must be > 0 when resampling=False")
@@ -195,7 +220,7 @@ class QuasiRandomTraining(TrainingStrategy):
 
             def loss(theta, key):
                 idx = jax.random.randint(key, (), 0, self.minibatch)
-                return jnp.mean(residual(shard_batch(batch[idx]), theta) ** 2)
+                return _msq(residual(shard_batch(batch[idx]), theta), acc)
 
             return loss
 
@@ -265,6 +290,7 @@ class QuadratureTraining(TrainingStrategy):
         lo = {d.variables.name: infimum(d.domain) for d in pinnrep.domains}
         hi = {d.variables.name: supremum(d.domain) for d in pinnrep.domains}
         theta0 = getattr(pinnrep, "flat_init_params", None)
+        acc = getattr(pinnrep, "loss_accum_dtype", None)
 
         def make(residual, args):
             syms = [a for a in args if isinstance(a, Sym)]
@@ -273,7 +299,7 @@ class QuadratureTraining(TrainingStrategy):
 
                 def loss(theta, key=None):
                     del key
-                    return jnp.mean(residual(dummy, theta) ** 2)
+                    return _msq(residual(dummy, theta), acc)
 
                 return loss
             lb = [lo[s.name] for s in syms]
@@ -300,8 +326,8 @@ class QuadratureTraining(TrainingStrategy):
             def loss(theta, key=None):
                 del key
                 # in-trace constraint (see _mean_sq_loss)
-                return jnp.sum(residual(shard_batch(nodes), theta) ** 2
-                               * weights)
+                return _wsum_sq(residual(shard_batch(nodes), theta),
+                                weights, acc)
 
             return loss
 
@@ -375,6 +401,7 @@ class ResidualAdaptiveTraining(TrainingStrategy):
 
     def build(self, pinnrep, datafree_pde, datafree_bc):
         dtype = pinnrep.dtype
+        acc = getattr(pinnrep, "loss_accum_dtype", None)
         pde_bounds = get_bounds(pinnrep.domains, pinnrep.pde_args, self.points, dtype)
         bc_bounds = get_bounds(pinnrep.domains, pinnrep.bc_args, self.points, dtype)
 
@@ -391,7 +418,7 @@ class ResidualAdaptiveTraining(TrainingStrategy):
                 idx = jax.random.categorical(
                     kr, jnp.log(w + 1e-30), shape=(self.points,))
                 pts = shard_batch(cand[:, idx])
-                return jnp.mean(residual(pts, theta) ** 2)
+                return _msq(residual(pts, theta), acc)
 
             return loss
 
@@ -401,7 +428,7 @@ class ResidualAdaptiveTraining(TrainingStrategy):
             def loss(theta, key):
                 pts = shard_batch(sampling.uniform_random(
                     key, self.bcs_points, lb, ub, dtype=dtype))
-                return jnp.mean(residual(pts, theta) ** 2)
+                return _msq(residual(pts, theta), acc)
 
             return loss
 

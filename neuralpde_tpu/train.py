@@ -210,6 +210,33 @@ def solve(prob, optimizer=None, maxiters: int = 1000, *,
                        history=history)
 
 
+def solve_hybrid(prob, *, adam_iters: int = 2000, lbfgs_iters: int = 1000,
+                 adam_lr: float = 2e-3, inner_steps: int = 50,
+                 abstol: float | None = None, key=None, verbose: bool = False,
+                 **kw):
+    """Adam → L-BFGS two-stage recipe — the reference docs' standard
+    wall-clock-to-accuracy pattern (e.g. docs/src/tutorials/low_level.md,
+    docs/src/examples/wave.md train Adam then (L-)BFGS): Adam escapes the
+    rough early landscape, L-BFGS's curvature steps polish to low loss in
+    far fewer iterations.
+
+    Works best with deterministic strategies (Grid/Quadrature) in the L-BFGS
+    stage — the linesearch assumes a fixed objective; with stochastic
+    strategies prefer a larger `adam_iters` fraction.  Returns a SolveResult
+    whose history concatenates both stages.  Measured numbers in PERF.md.
+    """
+    import optax as _optax
+
+    r1 = solve(prob, _optax.adam(adam_lr), maxiters=adam_iters,
+               inner_steps=inner_steps, key=key, verbose=verbose, **kw)
+    r2 = solve(prob.with_params(r1.u), _optax.lbfgs(), maxiters=lbfgs_iters,
+               inner_steps=inner_steps, key=key, abstol=abstol,
+               verbose=verbose, **kw)
+    return SolveResult(u=r2.u, objective=r2.objective,
+                       iterations=r1.iterations + r2.iterations,
+                       aux=r2.aux, history=r1.history + r2.history)
+
+
 def _log_metrics(logger, aux, step: int, ada_state=None):
     logvector(logger, aux["pde_losses"], "unweighted_loss/pde_losses", step)
     logvector(logger, aux["bc_losses"], "unweighted_loss/bc_losses", step)

@@ -202,3 +202,43 @@ def test_export_deserializes_once():
         call(cord)
         assert m.call_count == n_after_export  # no per-call deserialization
     assert n_after_export == 1
+
+
+# --- solve_hybrid + loss_accum_dtype (VERDICT r1 items 9, 10) ----------------
+
+def test_solve_hybrid_improves_on_adam():
+    from neuralpde_tpu.train import solve_hybrid
+
+    prob = poisson_1d_prob(GridTraining(0.05))
+    r_adam = solve(prob, optax.adam(2e-3), maxiters=600, inner_steps=25)
+    r_hyb = solve_hybrid(prob, adam_iters=300, lbfgs_iters=300,
+                         adam_lr=2e-3, inner_steps=25)
+    assert r_hyb.iterations == 600
+    assert len(r_hyb.history) == len(r_adam.history)
+    assert r_hyb.objective < r_adam.objective  # curvature polish wins
+
+
+def test_loss_accum_dtype_f64():
+    """f32 residuals with f64 reduction: loss comes out f64 and matches the
+    f32 reduction to f32 precision."""
+    x = symbols("x")
+    u = DepVar("u")
+    Dxx = Differential(x) ** 2
+    eq = Eq(Dxx(u(x)), -np.pi**2 * sin(np.pi * x))
+    bcs = [Eq(u(0.0), 0.0), Eq(u(1.0), 0.0)]
+    system = PDESystem(eq, bcs, [Domain(x, Interval(0, 1))], [x], [u(x)])
+
+    def build(acc):
+        disc = PhysicsInformedNN(mlp([1, 8, 1]), GridTraining(0.05),
+                                 dtype=jnp.float32, loss_accum_dtype=acc)
+        return discretize(system, disc)
+
+    p32 = build(None)
+    p64 = build(jnp.float64)
+    l32 = p32.pinnrep.loss_functions.pde_loss_functions[0](p32.init_params)
+    l64 = p64.pinnrep.loss_functions.pde_loss_functions[0](p64.init_params)
+    assert l64.dtype == jnp.float64
+    assert np.isclose(float(l32), float(l64), rtol=1e-5)
+    # trains fine end-to-end
+    r = solve(p64, optax.adam(1e-2), maxiters=50)
+    assert np.isfinite(r.objective)
