@@ -230,6 +230,187 @@ def measure_cpu_baseline(batch: int = 4096, steps: int = 5):
     return pps
 
 
+def _poisson_pps(batch: int, hidden: int = HIDDEN, remat: bool = False,
+                 dtype=None, accum=None, steps: int = 20,
+                 derivative: str = "jet"):
+    """Training-step throughput (points/sec) for the 2D-Poisson workload
+    with the given batch/remat/dtype/accumulation configuration."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/neuralpde_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import optax
+
+    import neuralpde_tpu as npde
+    from neuralpde_tpu import (
+        DepVar, Differential, Domain, Eq, Interval, PDESystem,
+        PhysicsInformedNN, StochasticTraining, discretize, mlp, symbols,
+    )
+    from neuralpde_tpu.train import make_step
+
+    x, y = symbols("x y")
+    u = DepVar("u")
+    Dxx = Differential(x) ** 2
+    Dyy = Differential(y) ** 2
+    eq = Eq(Dxx(u(x, y)) + Dyy(u(x, y)),
+            -npde.sin(np.pi * x) * npde.sin(np.pi * y))
+    bcs = [Eq(u(0.0, y), 0.0), Eq(u(1.0, y), 0.0),
+           Eq(u(x, 0.0), 0.0), Eq(u(x, 1.0), 0.0)]
+    system = PDESystem(eq, bcs,
+                       [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))],
+                       [x, y], [u(x, y)])
+    disc = PhysicsInformedNN(mlp([2, hidden, hidden, 1]),
+                             StochasticTraining(batch, bcs_points=batch // 8),
+                             derivative=derivative, remat=remat, dtype=dtype,
+                             loss_accum_dtype=accum)
+    prob = discretize(system, disc)
+    opt = optax.adam(1e-3)
+    lf = prob.pinnrep.loss_functions
+    step = make_step(prob.loss, opt, prob.pinnrep.adaloss,
+                     lf.pde_loss_functions, lf.bc_loss_functions)
+    theta = prob.init_params
+    ada = prob.pinnrep.adaloss.init_state(1, 4, prob.pinnrep.dtype)
+    carry = (theta, opt.init(theta), ada, jnp.asarray(0, jnp.int32))
+    key = jax.random.key(0)
+
+    def multi(carry, key):
+        def body(c, _):
+            return step(c, key)
+        carry, (losses, _) = jax.lax.scan(body, carry, None, length=steps)
+        return carry, losses[-1]
+
+    jm = jax.jit(multi)
+    carry, loss = jm(carry, key)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    carry, loss = jm(carry, key)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    return (batch + 4 * (batch // 8)) * steps / dt
+
+
+def sweep():
+    """Round-2 perf sweep (run on the real TPU; results -> PERF.md):
+
+      A. large-batch HBM-bound regime: batch in {32768, 131072, 524288}
+         with remat off/on (VERDICT r1 item 4 target: >=80M pts/s @131072)
+      B. f64 story (item 10): f32 / f32+f64-accum / f64 throughput
+      C. hybrid Adam->L-BFGS wall-clock to L2<1e-3 (item 9)
+
+    Prints one JSON line per measurement."""
+    import jax.numpy as jnp
+
+    for batch in (32768, 131072, 524288):
+        for remat in (False, True):
+            steps = 20 if batch >= 131072 else 50
+            pps = _poisson_pps(batch, remat=remat, steps=steps)
+            print(json.dumps({"metric": "poisson_pps", "batch": batch,
+                              "remat": remat, "value": round(pps, 1)}),
+                  flush=True)
+
+    # dtype trio needs x64 capability; keep the f32 row explicit so enabling
+    # x64 doesn't promote its constants
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    for name, dtype, accum in (("f32", jnp.float32, None),
+                               ("f32+f64accum", jnp.float32, jnp.float64),
+                               ("f64", jnp.float64, None)):
+        pps = _poisson_pps(8192, dtype=dtype, accum=accum, steps=10)
+        print(json.dumps({"metric": "dtype_pps", "config": name,
+                          "batch": 8192, "value": round(pps, 1)}), flush=True)
+
+    el = time_to_l2_hybrid()
+    print(json.dumps({"metric": "hybrid_to_l2_seconds", "value": el}),
+          flush=True)
+
+
+def time_to_l2_hybrid(target: float = 1e-3, max_seconds: float = 120.0):
+    """Item 9: Adam warmup + L-BFGS polish on a deterministic grid, timing
+    wall-clock to L2 < target on 2D Poisson.  Prints progress to stderr."""
+    import sys
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/neuralpde_tpu_jax_cache")
+    import jax.numpy as jnp
+    import optax
+
+    import neuralpde_tpu as npde
+    from neuralpde_tpu import (
+        DepVar, Differential, Domain, Eq, GridTraining, Interval, PDESystem,
+        PhysicsInformedNN, discretize, mlp, symbols, solve,
+    )
+
+    x, y = symbols("x y")
+    u = DepVar("u")
+    Dxx = Differential(x) ** 2
+    Dyy = Differential(y) ** 2
+    eq = Eq(Dxx(u(x, y)) + Dyy(u(x, y)),
+            -npde.sin(np.pi * x) * npde.sin(np.pi * y))
+    bcs = [Eq(u(0.0, y), 0.0), Eq(u(1.0, y), 0.0),
+           Eq(u(x, 0.0), 0.0), Eq(u(x, 1.0), 0.0)]
+    system = PDESystem(eq, bcs,
+                       [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))],
+                       [x, y], [u(x, y)])
+    # Adam explores on resampled stochastic batches (the r1-proven path);
+    # L-BFGS polishes on a FINE deterministic grid (the linesearch needs a
+    # fixed objective, and a coarse grid's residual floor stalls the polish
+    # at ~2e-3 true L2 — measured in PERF.md)
+    from neuralpde_tpu import StochasticTraining
+
+    disc = PhysicsInformedNN(mlp([2, 64, 64, 1]),
+                             StochasticTraining(8192, bcs_points=1024),
+                             derivative="jet")
+    prob = discretize(system, disc)
+    disc_g = PhysicsInformedNN(mlp([2, 64, 64, 1]), GridTraining(1.0 / 127.0),
+                               derivative="jet")
+    prob_g = discretize(system, disc_g)
+
+    xs = np.linspace(0, 1, 51)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    cord = jnp.asarray(np.stack([X.ravel(), Y.ravel()]), jnp.float32)
+    want = np.sin(np.pi * X) * np.sin(np.pi * Y) / (2 * np.pi**2)
+    eval_fn = jax.jit(lambda th: disc.phi(cord, th["depvar"])[0])
+
+    def l2_of(theta):
+        pred = np.asarray(eval_fn(theta)).reshape(51, 51)
+        return float(np.sqrt(np.mean((pred - want) ** 2)))
+
+    # warm the compile caches outside the timed region (same shapes as the
+    # timed chunks: inner_steps must match or the scan recompiles)
+    r = solve(prob, optax.adam(2e-3), maxiters=100, inner_steps=100)
+    r = solve(prob_g.with_params(r.u), optax.lbfgs(), maxiters=100,
+              inner_steps=100)
+    l2_of(r.u)
+
+    t0 = time.perf_counter()
+    r = solve(prob, optax.adam(2e-3), maxiters=1500, inner_steps=100)
+    theta = r.u
+    print(f"[hybrid] adam stage done t={time.perf_counter()-t0:.1f}s "
+          f"l2={l2_of(theta):.2e}", file=sys.stderr)
+    it = 1500
+    # L-BFGS in LONG chunks: a restart discards curvature memory, so short
+    # chunks stall; 1000-iter chunks let the quasi-Newton phase develop
+    while True:
+        r = solve(prob_g.with_params(theta), optax.lbfgs(), maxiters=1000,
+                  inner_steps=100)
+        theta = r.u
+        it += 1000
+        l2 = l2_of(theta)
+        el = time.perf_counter() - t0
+        print(f"[hybrid] iter={it} l2={l2:.2e} t={el:.1f}s", file=sys.stderr)
+        if l2 < target:
+            print(f"[hybrid] reached L2<{target} in {el:.2f}s", file=sys.stderr)
+            return round(el, 2)
+        if el > max_seconds:
+            print(f"[hybrid] did not reach target in {max_seconds}s "
+                  f"(final {l2:.2e})", file=sys.stderr)
+            return None
+
+
 def main():
     import jax
 
@@ -307,5 +488,9 @@ if __name__ == "__main__":
         burgers_points_per_sec()
     elif "--baseline" in sys.argv:
         measure_cpu_baseline()
+    elif "--sweep" in sys.argv:
+        sweep()
+    elif "--to-l2-hybrid" in sys.argv:
+        time_to_l2_hybrid()
     else:
         main()

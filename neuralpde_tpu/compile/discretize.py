@@ -212,6 +212,16 @@ def symbolic_discretize(pde_system: PDESystem,
                        else inits[0])
     else:
         init_params = discretization.init_params
+    # enforce the discretization dtype on (float) parameters — the
+    # reference's EltypeAdaptor semantics (src/eltype_matching.jl:1-18):
+    # params, training sets, and residual math share one eltype, so
+    # PhysicsInformedNN(dtype=jnp.float32) really is f32 end-to-end even
+    # under jax_enable_x64
+    init_params = jax.tree.map(
+        lambda a: (jnp.asarray(a).astype(dtype)
+                   if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+                   else jnp.asarray(a)),
+        init_params)
 
     eq_params = [p.name for p in pde_system.ps]
     default_p = None
