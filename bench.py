@@ -4,12 +4,12 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 The reference (SciML/NeuralPDE.jl) publishes no throughput numbers
-(BASELINE.md), so `vs_baseline` is computed against an estimated CPU-Julia
-throughput for the same workload: a 2x64x64x1 MLP 2D-Poisson residual
-(two 2nd-order derivative terms ≈ 9 chained forward evaluations) plus the
-Zygote reverse pass, on one CPU core ≈ 2.5e5 collocation points/sec.  The
-BASELINE.json north star is ≥10x that per-step throughput on one TPU chip.
-Measured on v5e: ~88M points/sec (see PERF.md for the sweep).
+(BASELINE.md), so `vs_baseline` divides by a MEASURED single-core CPU run of
+the reference-equivalent workload (f64 + FD stencils; `--baseline` mode,
+BASELINE.md table).  The BASELINE.json north star is ≥10x that per-step
+throughput on one TPU chip.  Measured on v5e: 122M points/sec at batch
+524288 with microbatch=32768 chunking (~1790x the measured baseline;
+PERF.md has the full sweep and the to-accuracy numbers).
 """
 
 from __future__ import annotations
@@ -30,10 +30,14 @@ import numpy as np
 # 2.5e5 ESTIMATE, which overstated single-core CPU throughput ~3.7x.
 BASELINE_POINTS_PER_SEC = 6.82e4
 
-# batch swept on v5e: 8192 -> 33M pts/s, 32768 -> 82M, 131072 -> 64M
-BATCH = 32768
+# v5e sweep (PERF.md): unchunked 32768 is the sweet spot (60-90M pts/s);
+# larger batches collapse to 33-35M as jvp-chain activations spill to HBM.
+# microbatch=32768 chunking (lax.map + per-chunk remat) fixes the large-batch
+# regime: batch 524288 runs at ~120M pts/s - the headline configuration.
+BATCH = 524288
+MICROBATCH = 32768
 HIDDEN = 64
-STEPS_MEASURE = 100
+STEPS_MEASURE = 20
 
 
 def time_to_l2(target: float = 1e-3, max_seconds: float = 120.0):
@@ -117,6 +121,7 @@ def burgers_points_per_sec():
     from neuralpde_tpu.train import make_step
 
     nu = 0.05
+    BATCH, STEPS_MEASURE = 32768, 100   # unchunked sweet spot (comparable to r1)
     x, t = symbols("x t")
     u = DepVar("u")
     Dt = Differential(t)
@@ -387,18 +392,18 @@ def time_to_l2_hybrid(target: float = 1e-3, max_seconds: float = 120.0):
     l2_of(r.u)
 
     t0 = time.perf_counter()
-    r = solve(prob, optax.adam(2e-3), maxiters=1500, inner_steps=100)
+    r = solve(prob, optax.adam(2e-3), maxiters=4000, inner_steps=100)
     theta = r.u
     print(f"[hybrid] adam stage done t={time.perf_counter()-t0:.1f}s "
           f"l2={l2_of(theta):.2e}", file=sys.stderr)
-    it = 1500
-    # L-BFGS in LONG chunks: a restart discards curvature memory, so short
-    # chunks stall; 1000-iter chunks let the quasi-Newton phase develop
+    it = 4000
+    # measured on v5e: adam(4000) ~2.5s to L2~2e-3, one 500-iter L-BFGS
+    # chunk on the fine grid polishes below 1e-3 -> ~8.6s total (PERF.md)
     while True:
-        r = solve(prob_g.with_params(theta), optax.lbfgs(), maxiters=1000,
+        r = solve(prob_g.with_params(theta), optax.lbfgs(), maxiters=500,
                   inner_steps=100)
         theta = r.u
-        it += 1000
+        it += 500
         l2 = l2_of(theta)
         el = time.perf_counter() - t0
         print(f"[hybrid] iter={it} l2={l2:.2e} t={el:.1f}s", file=sys.stderr)
@@ -440,7 +445,8 @@ def main():
                        [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))],
                        [x, y], [u(x, y)])
     disc = PhysicsInformedNN(mlp([2, HIDDEN, HIDDEN, 1]),
-                             StochasticTraining(BATCH, bcs_points=BATCH // 8),
+                             StochasticTraining(BATCH, bcs_points=BATCH // 8,
+                                                microbatch=MICROBATCH),
                              derivative="jet")  # Taylor-mode: +4% vs nested jvp
     prob = discretize(system, disc)
 

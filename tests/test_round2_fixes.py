@@ -242,3 +242,34 @@ def test_loss_accum_dtype_f64():
     # trains fine end-to-end
     r = solve(p64, optax.adam(1e-2), maxiters=50)
     assert np.isfinite(r.objective)
+
+
+def test_stochastic_microbatch_matches_unchunked():
+    """microbatch chunking is a pure execution-schedule change: same points
+    (same key), same loss value."""
+    x = symbols("x")
+    u = DepVar("u")
+    Dxx = Differential(x) ** 2
+    eq = Eq(Dxx(u(x)), -np.pi**2 * sin(np.pi * x))
+    bcs = [Eq(u(0.0), 0.0), Eq(u(1.0), 0.0)]
+    system = PDESystem(eq, bcs, [Domain(x, Interval(0, 1))], [x], [u(x)])
+
+    def build(mb):
+        disc = PhysicsInformedNN(mlp([1, 8, 1]),
+                                 StochasticTraining(256, microbatch=mb))
+        return discretize(system, disc)
+
+    p_plain = build(None)
+    p_mb = build(64)
+    k = jax.random.key(3)
+    l_plain = float(p_plain.pinnrep.loss_functions.pde_loss_functions[0](
+        p_plain.init_params, k))
+    l_mb = float(p_mb.pinnrep.loss_functions.pde_loss_functions[0](
+        p_mb.init_params, k))
+    assert np.isclose(l_plain, l_mb, rtol=1e-6), (l_plain, l_mb)
+    # trains end-to-end
+    r = solve(p_mb, optax.adam(1e-2), maxiters=30)
+    assert np.isfinite(r.objective)
+    # invalid divisor raises
+    with pytest.raises(ValueError, match="multiple"):
+        StochasticTraining(100, microbatch=64)
