@@ -121,7 +121,6 @@ def burgers_points_per_sec():
     from neuralpde_tpu.train import make_step
 
     nu = 0.05
-    BATCH, STEPS_MEASURE = 32768, 100   # unchunked sweet spot (comparable to r1)
     x, t = symbols("x t")
     u = DepVar("u")
     Dt = Differential(t)
@@ -134,7 +133,8 @@ def burgers_points_per_sec():
                        [Domain(x, Interval(-1, 1)), Domain(t, Interval(0, 1))],
                        [x, t], [u(x, t)])
     disc = PhysicsInformedNN(mlp([2, HIDDEN, HIDDEN, 1]),
-                             StochasticTraining(BATCH, bcs_points=BATCH // 8),
+                             StochasticTraining(BATCH, bcs_points=BATCH // 8,
+                                                microbatch=MICROBATCH),
                              derivative="jet")
     prob = discretize(system, disc)
     opt = optax.adam(1e-3)
