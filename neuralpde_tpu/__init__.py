@@ -56,4 +56,4 @@ from .bayesian import (
 from .ops.distributions import LogNormal, Normal, Particles, Uniform
 from .utils.eltype import EltypeAdaptor, recursive_eltype
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
