@@ -1,5 +1,6 @@
 from .core import (
-    Chain, Dense, Module, SkipConnection, gelu, glorot_normal, glorot_uniform,
-    identity, mlp, relu, sigmoid, sin, softplus, swish, tanh, zeros_init,
+    Chain, Dense, FourierFeatures, Module, SkipConnection, gelu,
+    glorot_normal, glorot_uniform, identity, mlp, relu, sigmoid, sin,
+    softplus, swish, tanh, zeros_init,
 )
 from .adapters import FlaxAdapter, HaikuAdapter  # noqa: F401

@@ -170,11 +170,67 @@ class SkipConnection(Module):
         return self.merge(self.layer.apply(params, x), x)
 
 
+class FourierFeatures(Module):
+    """Random Fourier feature embedding (Tancik et al. 2020): the standard
+    remedy for the spectral bias of coordinate MLPs, so PINNs resolve
+    high-frequency solution content orders of magnitude faster.
+
+    ``y = [sin(2π B x); cos(2π B x)]`` with ``B ~ N(0, σ²)`` of shape
+    ``(n_frequencies, in_dim)`` drawn at init and held FIXED during training
+    (the paper's recipe; a trainable B destabilizes the NTK argument).  σ
+    sets the band center: σ ≈ the highest frequency (in periods per unit
+    length) the solution contains.  Beyond the reference (which has no
+    embedding layers); composes with the jet/jvp derivative pipeline since
+    sin/cos have exact Taylor-mode rules.
+    """
+
+    def __init__(self, in_dim: int, n_frequencies: int, sigma: float = 1.0):
+        self._in = in_dim
+        self.n_frequencies = n_frequencies
+        self.sigma = sigma
+
+    @property
+    def in_dim(self):
+        return self._in
+
+    @property
+    def out_dim(self):
+        return 2 * self.n_frequencies
+
+    def init(self, key):
+        b = self.sigma * jax.random.normal(
+            key, (self.n_frequencies, self._in), default_float())
+        return {"B": b}
+
+    def apply(self, params, x):
+        # fixed embedding: stop_gradient zeroes B's gradient so first-order
+        # optimizers and L-BFGS never move it even though it rides the
+        # params pytree (NOTE: HMC samplers explore the full flat vector, so
+        # prefer plain chains — or a frozen init_params split — for BPINNs)
+        proj = 2.0 * jnp.pi * jnp.dot(jax.lax.stop_gradient(params["B"]), x,
+                                      preferred_element_type=x.dtype)
+        return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=0)
+
+
 def mlp(sizes: Sequence[int], activation: Callable = tanh,
-        out_activation: Callable | None = None) -> Chain:
-    """Convenience constructor: mlp([2, 16, 16, 1]) -> 3-layer Chain."""
+        out_activation: Callable | None = None, *,
+        fourier_features: int | None = None,
+        fourier_sigma: float = 1.0) -> Chain:
+    """Convenience constructor: mlp([2, 16, 16, 1]) -> 3-layer Chain.
+
+    ``fourier_features=m`` prepends a fixed random Fourier embedding with m
+    frequencies (bandwidth ``fourier_sigma``); the first Dense layer then
+    takes the 2m embedded channels instead of the raw coordinates.
+    """
     layers = []
-    for i in range(len(sizes) - 1):
+    start = 0
+    if fourier_features:
+        layers.append(FourierFeatures(sizes[0], fourier_features,
+                                      fourier_sigma))
+        layers.append(Dense(2 * fourier_features, sizes[1], activation
+                            if len(sizes) > 2 else out_activation))
+        start = 1
+    for i in range(start, len(sizes) - 1):
         act = activation if i < len(sizes) - 2 else out_activation
         layers.append(Dense(sizes[i], sizes[i + 1], act))
     return Chain(*layers)
