@@ -19,7 +19,7 @@ from .nn.core import (
 )
 from .ops.derivatives import DerivativeEngine, jvp_derivative, numeric_derivative
 from .strategies import (
-    GridTraining, QuadratureTraining, QuasiRandomTraining,
+    CausalTraining, GridTraining, QuadratureTraining, QuasiRandomTraining,
     ResidualAdaptiveTraining, StochasticTraining, TrainingStrategy,
     WeightedIntervalTraining, generate_training_sets, get_bounds,
     get_loss_function,

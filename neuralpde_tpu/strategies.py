@@ -468,3 +468,127 @@ class ResidualAdaptiveTraining(TrainingStrategy):
         pde = [make_pde(f, b) for f, b in zip(datafree_pde, pde_bounds)]
         bc = [make_bc(f, b) for f, b in zip(datafree_bc, bc_bounds)]
         return pde, bc
+
+
+class CausalTraining(TrainingStrategy):
+    """Causality-respecting training for time-dependent PDEs (beyond the
+    reference; Wang, Sankaran & Perdikaris 2022, "Respecting causality is
+    all you need for training physics-informed neural networks").
+
+    Plain PINN losses minimize the residual at all times simultaneously, so
+    the optimizer happily fits late-time dynamics to wrong early-time states
+    — the classic Allen-Cahn / Kuramoto-Sivashinsky failure mode.  Here the
+    interior loss is split into ``n_slabs`` consecutive time slabs with mean
+    residuals L_1..L_M, and slab i is weighted
+
+        w_i = exp(-causal_eps * Σ_{j<i} L_j)        (gradient-blocked)
+
+    so later slabs only contribute once earlier times are resolved: soft
+    time-marching inside ONE static-shape XLA program (a cumsum + exp per
+    step — no host control flow, no curriculum schedule to tune).
+
+    Sampling is slab-stratified uniform: ``points`` must divide into
+    ``n_slabs`` equal slabs; each slab gets ``points/n_slabs`` fresh points
+    per step with the remaining coordinates uniform over their domains.
+    Equations whose arguments do not contain ``time_var`` (and all BCs/ICs)
+    fall back to plain stochastic sampling.
+
+    The paper's convergence diagnostic — train until the LAST slab's weight
+    w_M ≈ 1 — is exposed as ``causal_weights(theta, key)``.
+    """
+
+    def __init__(self, points: int, time_var, bcs_points: int | None = None,
+                 n_slabs: int = 32, causal_eps: float = 1.0):
+        self.points = points
+        self.time_var = time_var.name if isinstance(time_var, Sym) else str(time_var)
+        self.bcs_points = bcs_points if bcs_points is not None else points
+        self.n_slabs = n_slabs
+        self.causal_eps = causal_eps
+        if points % n_slabs != 0:
+            raise ValueError(
+                f"points ({points}) must be a multiple of n_slabs ({n_slabs})")
+        self._weight_fns = []
+
+    def _slab_losses(self, residual, lb, ub, t_idx, dtype, acc):
+        """Per-slab mean-square residuals L (shape (n_slabs,)) from
+        slab-major stratified sampling."""
+        M, per = self.n_slabs, self.points // self.n_slabs
+
+        def slabs(theta, key):
+            pts = sampling.uniform_random(key, self.points, lb, ub, dtype=dtype)
+            # restratify the time row slab-major: slab s spans
+            # [lb_t + s·Δ, lb_t + (s+1)·Δ], Δ = (ub_t − lb_t)/M
+            u = (pts[t_idx] - lb[t_idx]) / jnp.maximum(ub[t_idx] - lb[t_idx],
+                                                       jnp.asarray(1e-30, dtype))
+            slab = jnp.repeat(jnp.arange(M, dtype=dtype), per)
+            t = lb[t_idx] + (slab + u) * (ub[t_idx] - lb[t_idx]) / M
+            sq = residual(shard_batch(pts.at[t_idx].set(t)), theta) ** 2
+            if acc is not None:
+                sq = sq.astype(acc)
+            return jnp.mean(sq.reshape(-1, M, per), axis=(0, 2))
+
+        return slabs
+
+    @staticmethod
+    def _weights(L, eps):
+        csum = jnp.cumsum(L) - L          # Σ_{j<i} L_j
+        return jax.lax.stop_gradient(jnp.exp(-eps * csum))
+
+    def build(self, pinnrep, datafree_pde, datafree_bc):
+        dtype = pinnrep.dtype
+        acc = getattr(pinnrep, "loss_accum_dtype", None)
+        pde_bounds = get_bounds(pinnrep.domains, pinnrep.pde_args, self.points, dtype)
+        bc_bounds = get_bounds(pinnrep.domains, pinnrep.bc_args,
+                               self.bcs_points, dtype)
+        self._weight_fns = []
+
+        def t_index(args):
+            for i, a in enumerate(args):
+                if isinstance(a, Sym) and a.name == self.time_var:
+                    return i
+            return None
+
+        def make_pde(residual, bound, args):
+            lb, ub = bound
+            t_idx = t_index(args)
+            if t_idx is None:
+                def loss(theta, key):
+                    pts = shard_batch(sampling.uniform_random(
+                        key, self.points, lb, ub, dtype=dtype))
+                    return _msq(residual(pts, theta), acc)
+
+                return loss
+            slabs = self._slab_losses(residual, lb, ub, t_idx, dtype, acc)
+
+            def loss(theta, key):
+                L = slabs(theta, key)
+                return jnp.mean(self._weights(L, self.causal_eps) * L)
+
+            self._weight_fns.append(
+                lambda theta, key, s=slabs: self._weights(
+                    s(theta, key), self.causal_eps))
+            return loss
+
+        def make_bc(residual, bound):
+            lb, ub = bound
+
+            def loss(theta, key):
+                pts = shard_batch(sampling.uniform_random(
+                    key, self.bcs_points, lb, ub, dtype=dtype))
+                return _msq(residual(pts, theta), acc)
+
+            return loss
+
+        pde = [make_pde(f, b, a) for f, b, a in
+               zip(datafree_pde, pde_bounds, pinnrep.pde_args)]
+        bc = [make_bc(f, b) for f, b in zip(datafree_bc, bc_bounds)]
+        return pde, bc
+
+    def causal_weights(self, theta, key):
+        """Current slab weights per time-dependent equation (paper's
+        convergence monitor: stop when the last weight ≈ 1).  Available
+        after the strategy has been built by discretize()."""
+        if not self._weight_fns:
+            raise ValueError("causal_weights requires a discretized problem "
+                             "(call discretize(system, disc) first)")
+        return [fn(theta, key) for fn in self._weight_fns]
