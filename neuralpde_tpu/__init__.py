@@ -25,8 +25,9 @@ from .strategies import (
     get_loss_function,
 )
 from .adaptive import (
-    AbstractAdaptiveLoss, GradientScaleAdaptiveLoss, MiniMaxAdaptiveLoss,
-    NonAdaptiveLoss, ReLoBRaLoAdaptiveLoss, SoftAdaptAdaptiveLoss,
+    AbstractAdaptiveLoss, GradientScaleAdaptiveLoss,
+    InverseDirichletAdaptiveLoss, MiniMaxAdaptiveLoss, NonAdaptiveLoss,
+    ReLoBRaLoAdaptiveLoss, SoftAdaptAdaptiveLoss,
 )
 from .compile.discretize import (
     BayesianPINN, PhysicsInformedNN, Phi, PINNLossFunctions, PINNRepresentation,

@@ -9,8 +9,9 @@ import pytest
 
 from neuralpde_tpu import (
     DepVar, Differential, Domain, Eq, GradientScaleAdaptiveLoss, Interval,
-    MiniMaxAdaptiveLoss, NonAdaptiveLoss, PDESystem, PhysicsInformedNN,
-    ReLoBRaLoAdaptiveLoss, SoftAdaptAdaptiveLoss, StochasticTraining,
+    InverseDirichletAdaptiveLoss, MiniMaxAdaptiveLoss, NonAdaptiveLoss,
+    PDESystem, PhysicsInformedNN, ReLoBRaLoAdaptiveLoss,
+    SoftAdaptAdaptiveLoss, StochasticTraining,
     discretize, mlp, solve, symbols,
 )
 from neuralpde_tpu.symbolic.expr import sin
@@ -51,6 +52,8 @@ ADALOSSES = [
     MiniMaxAdaptiveLoss(100),
     SoftAdaptAdaptiveLoss(100, smoothing=0.9),
     ReLoBRaLoAdaptiveLoss(100, alpha=0.5, smoothing=0.9),
+    # beyond reference: gradient-variance balancing (Maddu et al. 2022)
+    InverseDirichletAdaptiveLoss(100),
 ]
 
 
