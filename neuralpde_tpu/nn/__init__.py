@@ -1,5 +1,5 @@
 from .core import (
-    Chain, Dense, FourierFeatures, Module, SkipConnection, gelu,
+    Chain, Dense, FourierFeatures, Module, SkipConnection, Transformed, gelu,
     glorot_normal, glorot_uniform, identity, mlp, relu, sigmoid, sin,
     softplus, swish, tanh, zeros_init,
 )

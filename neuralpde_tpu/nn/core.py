@@ -170,6 +170,40 @@ class SkipConnection(Module):
         return self.merge(self.layer.apply(params, x), x)
 
 
+class Transformed(Module):
+    """Hard-constraint trial function: ``u(x) = transform(x, base(x))``.
+
+    The standard Lagaris-style construction for imposing Dirichlet BCs/ICs
+    EXACTLY instead of penalizing them: e.g. on the unit square with zero
+    boundary, ``Transformed(net, lambda x, out: x[0:1]*(1-x[0:1]) *
+    x[1:2]*(1-x[1:2]) * out)`` makes every boundary residual identically
+    zero, so the optimizer spends its entire budget on the interior physics.
+    The transform differentiates exactly through the jvp/jet pipeline (it is
+    part of the trial function the lowering sees).  The ODE solvers already
+    hard-constrain ICs this way (``u0 + (t-t0)·NN``, reference:
+    src/ode_solve.jl:123-159); this wrapper gives the PDE pipeline the same
+    power with user-supplied geometry.
+    """
+
+    def __init__(self, base: Module, transform):
+        self.base = base
+        self.transform = transform
+
+    @property
+    def in_dim(self):
+        return self.base.in_dim
+
+    @property
+    def out_dim(self):
+        return self.base.out_dim
+
+    def init(self, key):
+        return self.base.init(key)
+
+    def apply(self, params, x):
+        return self.transform(x, self.base.apply(params, x))
+
+
 class FourierFeatures(Module):
     """Random Fourier feature embedding (Tancik et al. 2020): the standard
     remedy for the spectral bias of coordinate MLPs, so PINNs resolve

@@ -86,3 +86,44 @@ def test_high_frequency_poisson_rff_beats_plain():
         errs[name] = float(jnp.max(jnp.abs(pred - want)))
     assert errs["rff"] < 0.15, errs
     assert errs["rff"] < 0.5 * errs["plain"], errs
+
+
+def test_transformed_hard_constraint():
+    """Transformed imposes Dirichlet BCs exactly: boundary values are
+    identically zero, bc losses vanish at init, and training spends its
+    budget on the interior physics (converges in few iterations)."""
+    from neuralpde_tpu import Transformed
+
+    x, y = symbols("x y")
+    u = DepVar("u")
+    Dxx = Differential(x) ** 2
+    Dyy = Differential(y) ** 2
+    eq = Eq(Dxx(u(x, y)) + Dyy(u(x, y)),
+            -npde.sin(np.pi * x) * npde.sin(np.pi * y))
+    bcs = [Eq(u(0.0, y), 0.0), Eq(u(1.0, y), 0.0),
+           Eq(u(x, 0.0), 0.0), Eq(u(x, 1.0), 0.0)]
+    system = PDESystem(eq, bcs,
+                       [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))],
+                       [x, y], [u(x, y)])
+    net = Transformed(
+        mlp([2, 24, 24, 1]),
+        lambda c, out: c[0:1] * (1 - c[0:1]) * c[1:2] * (1 - c[1:2]) * out)
+    disc = PhysicsInformedNN(net, GridTraining(0.05), derivative="jet")
+    prob = discretize(system, disc)
+
+    # boundary exactness at init
+    ys = jnp.linspace(0, 1, 7)
+    edge = jnp.stack([jnp.zeros_like(ys), ys])
+    vals = disc.phi(edge, prob.init_params["depvar"])
+    assert float(jnp.max(jnp.abs(vals))) == 0.0
+    # bc losses are identically zero
+    key = jax.random.key(0)
+    for lf in prob.pinnrep.loss_functions.bc_loss_functions:
+        assert float(lf(prob.init_params, key)) == 0.0
+
+    res = solve(prob, optax.adam(2e-2), maxiters=800)
+    cord = jnp.stack([jnp.full((9,), 0.5), jnp.linspace(0.1, 0.9, 9)])
+    pred = disc.phi(cord, res.u["depvar"])[0]
+    want = (jnp.sin(np.pi * 0.5) * jnp.sin(np.pi * cord[1])
+            / (2 * np.pi**2))
+    assert float(jnp.max(jnp.abs(pred - want))) < 0.01
