@@ -8,16 +8,17 @@ propagates and lands at relative L2 ~ 1.0 (total failure; Wang, Sankaran &
 Perdikaris 2022).  The cure is the same recipe the paper uses, all built in:
 
   * CausalTraining with epsilon annealing (1 -> 10 -> 100)
-  * random Fourier features (mlp(fourier_features=64))
+  * an exactly-periodic trial function (PeriodicEmbedding in x)
   * 100x initial-condition weight (NonAdaptiveLoss(bc_loss_weights=...))
 
 Measured on one TPU v5e chip (100k Adam iters total):
 
-  | config                                   | rel L2  | wall-clock |
-  |------------------------------------------|---------|------------|
-  | plain StochasticTraining                  | 1.007   | 72 s       |
-  | CausalTraining eps=1                      | 0.65    | 18 s       |
-  | full recipe (anneal + RFF + IC weight)    | 0.0143  | 88 s       |
+  | config                                   | rel L2  |
+  |------------------------------------------|---------|
+  | plain StochasticTraining                  | 1.007   |
+  | CausalTraining eps=1                      | 0.65    |
+  | anneal + random Fourier features + IC wt  | 0.0143  |
+  | anneal + PeriodicEmbedding + IC wt (this) | 0.00747 |
 
 Ground truth: spectral FFT-in-x + RK4-in-t on a 512-point grid (computed
 below in a few seconds).
@@ -34,9 +35,9 @@ import optax
 
 import neuralpde_tpu as npde
 from neuralpde_tpu import (
-    CausalTraining, DepVar, Differential, Domain, Eq, Interval,
-    NonAdaptiveLoss, PDESystem, PhysicsInformedNN, discretize, mlp, symbols,
-    solve,
+    CausalTraining, Chain, DepVar, Differential, Domain, Eq, Interval,
+    NonAdaptiveLoss, PDESystem, PeriodicEmbedding, PhysicsInformedNN,
+    discretize, mlp, symbols, solve,
 )
 
 # --- ground truth: spectral method of lines -------------------------------
@@ -80,7 +81,10 @@ system = PDESystem(eq, bcs,
                    [Domain(x, Interval(-1, 1)), Domain(t, Interval(0, 1))],
                    [x, t], [u(x, t)])
 
-net = mlp([2, 128, 128, 128, 128, 1], fourier_features=64, fourier_sigma=2.0)
+# exactly periodic in x (10 harmonics) + passthrough t -> 21 inputs; the
+# periodic BC losses vanish identically, so only IC + physics remain live
+net = Chain(PeriodicEmbedding(2, axis=0, period=2.0, n_modes=10),
+            *mlp([21, 128, 128, 128, 128, 1]).layers)
 
 theta = None
 t0 = time.perf_counter()

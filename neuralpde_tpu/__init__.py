@@ -14,8 +14,8 @@ from .symbolic.expr import (
 )
 from .symbolic.system import Domain, Interval, PDESystem, in_domain, infimum, supremum
 from .nn.core import (
-    Chain, Dense, FourierFeatures, Module, SkipConnection, Transformed,
-    glorot_normal, glorot_uniform, mlp,
+    Chain, Dense, FourierFeatures, Module, PeriodicEmbedding, SkipConnection,
+    Transformed, glorot_normal, glorot_uniform, mlp,
 )
 from .ops.derivatives import DerivativeEngine, jvp_derivative, numeric_derivative
 from .strategies import (

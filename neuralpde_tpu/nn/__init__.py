@@ -1,5 +1,6 @@
 from .core import (
-    Chain, Dense, FourierFeatures, Module, SkipConnection, Transformed, gelu,
+    Chain, Dense, FourierFeatures, Module, PeriodicEmbedding, SkipConnection,
+    Transformed, gelu,
     glorot_normal, glorot_uniform, identity, mlp, relu, sigmoid, sin,
     softplus, swish, tanh, zeros_init,
 )

@@ -246,6 +246,44 @@ class FourierFeatures(Module):
         return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=0)
 
 
+class PeriodicEmbedding(Module):
+    """Exact periodic embedding of one coordinate axis: replaces row `axis`
+    with integer harmonics ``sin(2πk x/period), cos(2πk x/period)``,
+    k = 1..n_modes, passing the other rows through unchanged.
+
+    Any network downstream is EXACTLY periodic in that axis — periodic
+    value/derivative boundary conditions hold to machine precision and their
+    losses vanish identically (the hard-constraint counterpart of
+    `Transformed` for periodic geometry).  Derivatives are exact under the
+    jvp/jet pipeline.
+    """
+
+    def __init__(self, in_dim: int, axis: int, period: float, n_modes: int):
+        self._in = in_dim
+        self.axis = axis
+        self.period = period
+        self.n_modes = n_modes
+
+    @property
+    def in_dim(self):
+        return self._in
+
+    @property
+    def out_dim(self):
+        return self._in - 1 + 2 * self.n_modes
+
+    def init(self, key):
+        del key
+        return {}
+
+    def apply(self, params, x):
+        del params
+        ks = jnp.arange(1, self.n_modes + 1, dtype=x.dtype)[:, None]
+        ang = 2.0 * jnp.pi / self.period * ks * x[self.axis:self.axis + 1]
+        rest = [x[i:i + 1] for i in range(self._in) if i != self.axis]
+        return jnp.concatenate(rest + [jnp.sin(ang), jnp.cos(ang)], axis=0)
+
+
 def mlp(sizes: Sequence[int], activation: Callable = tanh,
         out_activation: Callable | None = None, *,
         fourier_features: int | None = None,

@@ -127,3 +127,26 @@ def test_transformed_hard_constraint():
     want = (jnp.sin(np.pi * 0.5) * jnp.sin(np.pi * cord[1])
             / (2 * np.pi**2))
     assert float(jnp.max(jnp.abs(pred - want))) < 0.01
+
+
+def test_periodic_embedding_exact_periodicity():
+    """PeriodicEmbedding makes any downstream net exactly periodic in the
+    embedded axis: value AND derivative match at the two domain edges to
+    float rounding, so periodic BC losses vanish (~1e-14)."""
+    from neuralpde_tpu import Chain, PeriodicEmbedding
+
+    emb = PeriodicEmbedding(2, axis=0, period=2.0, n_modes=4)
+    assert emb.out_dim == 1 + 8
+    net = Chain(emb, *mlp([9, 16, 1]).layers)
+    p = net.init(jax.random.key(0))
+    t = jnp.linspace(0, 1, 5)
+    lo = jnp.stack([jnp.full_like(t, -1.0), t])
+    hi = jnp.stack([jnp.full_like(t, 1.0), t])
+    val_err = float(jnp.max(jnp.abs(net.apply(p, lo) - net.apply(p, hi))))
+    tang = jnp.zeros((2, 5)).at[0].set(1.0)
+    g_lo = jax.jvp(lambda c: net.apply(p, c), (lo,), (tang,))[1]
+    g_hi = jax.jvp(lambda c: net.apply(p, c), (hi,), (tang,))[1]
+    slope_err = float(jnp.max(jnp.abs(g_lo - g_hi)))
+    # float64 under the test conftest: periodicity to ~1e-15; the squared
+    # BC losses are then ~1e-30
+    assert val_err < 1e-12 and slope_err < 1e-11, (val_err, slope_err)
