@@ -64,6 +64,9 @@ class PhysicsInformedNN:
     * adaptive_loss: an AbstractAdaptiveLoss (default NonAdaptiveLoss)
     * logger / log_options: logging hook protocol
     * seed: PRNG seed for default parameter initialization
+    * gradient_enhanced: gPINN weight w (Yu et al. 2022) — each PDE residual
+      additionally penalizes √w·∂residual/∂x_i for every independent
+      variable (beyond the reference)
     """
 
     def __init__(self, chain, strategy: TrainingStrategy | None, *,
@@ -72,7 +75,8 @@ class PhysicsInformedNN:
                  adaptive_loss: AbstractAdaptiveLoss | None = None,
                  logger=None, log_options: LogOptions | None = None,
                  seed: int = 0, integral_order: int = 20, integral_panels: int = 1,
-                 dtype=None, remat: bool = False, loss_accum_dtype=None):
+                 dtype=None, remat: bool = False, loss_accum_dtype=None,
+                 gradient_enhanced: float | None = None):
         self.multioutput = isinstance(chain, (list, tuple))
         self.chain = list(chain) if self.multioutput else chain
         self.strategy = strategy
@@ -97,6 +101,8 @@ class PhysicsInformedNN:
         # the stiff-inverse-problem mitigation for TPU, where end-to-end f64
         # is software-emulated (SURVEY hard-part #4; measured in PERF.md)
         self.loss_accum_dtype = loss_accum_dtype
+        # gPINN residual-gradient weight (None = off); see symbolic_discretize
+        self.gradient_enhanced = gradient_enhanced
         chains = self.chain if self.multioutput else [self.chain]
         self.phi = [Phi(c) for c in chains] if self.multioutput else Phi(self.chain)
 
@@ -295,6 +301,31 @@ def symbolic_discretize(pde_system: PDESystem,
                     for eq, lay in zip(eqs, pde_layouts)]
     datafree_bc = [build_residual_function(bc, lay, ctx, default_p)
                    for bc, lay in zip(bcs, bc_layouts)]
+    ge = discretization.gradient_enhanced
+    if ge:
+        # gPINN (Yu, Lu, Meng & Karniadakis 2022): also penalize the spatial
+        # gradient of the residual, which must vanish wherever the residual
+        # does.  Each PDE residual grows extra rows √w·∂f/∂x_i (one exact
+        # forward-mode jvp per Sym argument), so every strategy's
+        # mean-square reduction sees (L_res + w·ΣL_grad)/(1+n_axes) — same
+        # minimizers, one static-shape program, composes with every
+        # strategy/adaptive scheme.  BCs are left untouched.
+        sqrt_w = float(np.sqrt(ge))
+
+        def ge_wrap(f, args):
+            axes = [i for i, a in enumerate(args) if isinstance(a, Sym)]
+
+            def g(cord, theta):
+                rows = [jnp.atleast_2d(f(cord, theta))]
+                for i in axes:
+                    tang = jnp.zeros_like(cord).at[i, :].set(1.0)
+                    rows.append(sqrt_w * jnp.atleast_2d(jax.jvp(
+                        lambda c: f(c, theta), (cord,), (tang,))[1]))
+                return jnp.concatenate(rows, axis=0)
+
+            return g
+
+        datafree_pde = [ge_wrap(f, a) for f, a in zip(datafree_pde, pde_args)]
     if discretization.remat:
         datafree_pde = [jax.checkpoint(f) for f in datafree_pde]
         datafree_bc = [jax.checkpoint(f) for f in datafree_bc]

@@ -150,3 +150,47 @@ def test_periodic_embedding_exact_periodicity():
     # float64 under the test conftest: periodicity to ~1e-15; the squared
     # BC losses are then ~1e-30
     assert val_err < 1e-12 and slope_err < 1e-11, (val_err, slope_err)
+
+
+def test_gradient_enhanced_residual():
+    """gPINN (gradient_enhanced=w): PDE residuals grow one √w·∂f/∂x_i row
+    per independent variable (exact jvp — verified against FD), BCs stay
+    untouched, and training still converges."""
+    x = symbols("x")
+    u = DepVar("u")
+    eq = Eq((Differential(x) ** 2)(u(x)), -np.pi**2 * npde.sin(np.pi * x))
+    system = PDESystem(eq, [Eq(u(0.0), 0.0), Eq(u(1.0), 0.0)],
+                       [Domain(x, Interval(0, 1))], [x], [u(x)])
+    w = 0.09
+    disc = PhysicsInformedNN(mlp([1, 16, 1]), GridTraining(0.05),
+                             gradient_enhanced=w)
+    prob = discretize(system, disc)
+    f = prob.pinnrep.loss_functions.datafree_pde_loss_functions[0]
+    theta = prob.init_params
+    cord = jnp.linspace(0.1, 0.9, 9)[None, :]
+    out = f(cord, theta)
+    assert out.shape[0] == 2  # residual + one gradient row
+
+    # the gradient row is sqrt(w) * d(residual)/dx — check against FD
+    h = 1e-5
+    plain = PhysicsInformedNN(mlp([1, 16, 1]), GridTraining(0.05), seed=0)
+    prob0 = discretize(system, plain)
+    f0 = prob0.pinnrep.loss_functions.datafree_pde_loss_functions[0]
+    th0 = prob0.init_params
+    fd = np.atleast_2d((f0(cord + h, th0) - f0(cord - h, th0)) / (2 * h))
+    probw = discretize(system, PhysicsInformedNN(mlp([1, 16, 1]),
+                                                 GridTraining(0.05), seed=0,
+                                                 gradient_enhanced=w))
+    fw = probw.pinnrep.loss_functions.datafree_pde_loss_functions[0]
+    got = fw(cord, probw.init_params)[1]
+    np.testing.assert_allclose(np.asarray(got).ravel(),
+                               np.sqrt(w) * np.asarray(fd).ravel(), atol=1e-5)
+
+    # bc residuals untouched (single row)
+    bc = prob.pinnrep.loss_functions.datafree_bc_loss_functions[0]
+    assert jnp.atleast_2d(bc(jnp.zeros((1, 3)), theta)).shape[0] == 1
+
+    res = solve(prob, optax.adam(2e-2), maxiters=500)
+    cord_e = jnp.linspace(0, 1, 21)[None, :]
+    pred = prob.pinnrep.phi(cord_e, res.u["depvar"])[0]
+    assert float(jnp.max(jnp.abs(pred - jnp.sin(np.pi * cord_e[0])))) < 0.1
