@@ -45,6 +45,8 @@ from .train import SolveResult, solve, solve_hybrid
 from .utils.pytree import vector_to_parameters, parameters_to_vector
 from .nn.dgm import DGM, DGMLSTMLayer
 from .nn.deeponet import DeepONet
+from .nn.separable import SeparableNet, separable_mlp
+from .compile.separable import SeparableTraining, build_separable_residual
 from .solvers import (
     DAEProblem, DeepGalerkin, NNDAE, NNODE, NNSDE, ODEPhi, ODEProblem,
     ODESolution, PINOODE, PINOODESolution, SDEPINN, SDEProblem, SDEsol,

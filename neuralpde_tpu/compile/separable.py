@@ -1,0 +1,285 @@
+"""Factorized tensor-grid lowering for separable trial functions (SPINN).
+
+Lowers the same symbolic equations as `compile.lower` but evaluates them on a
+tensor-product grid: every dependent-variable call and derivative term becomes
+an einsum contraction of per-axis feature matrices
+
+    u-grid            = Σ_r Π_a F_a[:, r]          F_a = f_a(nodes_a)   (N_a, rank)
+    ∂^k u/∂x_a^k grid = Σ_r F_a^(k) Π_{b≠a} F_b    F^(k) = jet order-k features
+
+so an ``N^d``-point residual costs ``N·d`` axis-net evaluations instead of the
+dense pipeline's ``N^d`` full-network evaluations (reference pointwise engine:
+src/pinn_types.jl:421-458).  All contraction FLOPs are MXU matmuls; the only
+``N^d``-sized arrays are the residual grids themselves.
+
+Selected by the `SeparableTraining` strategy; every chain must be a
+`neuralpde_tpu.nn.SeparableNet`.  Integro-differential terms are not
+supported on this fast path (use the dense strategies).
+"""
+
+from __future__ import annotations
+
+import string
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.separable import SeparableNet
+from ..strategies import TrainingStrategy, _msq, julia_range
+from ..symbolic.expr import (
+    PRIMITIVES, Call, DepVarCall, Deriv, Eq, Expr, IntegralExpr, Num, Param,
+    Sym, expand_derivatives,
+)
+from ..symbolic.system import infimum, supremum
+from .lower import LoweringContext, get_argument
+
+_AXIS_LETTERS = string.ascii_lowercase[:10]
+
+
+@dataclass
+class _GridContext:
+    """Per-equation evaluation context on a tensor grid."""
+
+    ctx: LoweringContext          # shared symbolic context (theta_for, params)
+    nets: dict                    # depvar name -> SeparableNet
+    nodes: list                   # per grid axis: (N_i,) 1-D node array
+    k: int                        # number of grid axes
+    dtype: object
+
+
+def _grid_env(gctx: _GridContext, axes) -> dict:
+    """Bind each grid-axis Sym to its nodes, broadcast-shaped (1,…,N_i,…,1)."""
+    env = {}
+    for i, s in enumerate(axes):
+        shape = [1] * gctx.k
+        shape[i] = gctx.nodes[i].shape[0]
+        env[s.name] = gctx.nodes[i].reshape(shape)
+    return env
+
+
+def _slot_nodes(arg, env, theta, p, gctx: _GridContext):
+    """Evaluate one depvar-call argument -> (grid axis or None, (N,) nodes).
+
+    A `Num`/constant maps to a single-node axis (shape (1,)); a value varying
+    along exactly one grid axis maps to that axis; anything coupling two axes
+    cannot factorize and raises.
+    """
+    if isinstance(arg, Num):
+        return None, jnp.full((1,), float(arg.value), gctx.dtype)
+    val = jnp.asarray(_gev(arg, env, theta, p, gctx))
+    if val.ndim == 0:
+        return None, val.reshape(1)
+    if val.ndim != gctx.k:
+        val = val.reshape((1,) * (gctx.k - val.ndim) + val.shape)
+    nz = [d for d in range(gctx.k) if val.shape[d] != 1]
+    if len(nz) == 0:
+        return None, val.reshape(1)
+    if len(nz) == 1:
+        return nz[0], val.reshape(-1)
+    raise ValueError(
+        "separable fast path: a dependent-variable argument couples several "
+        "grid axes and cannot factorize — use a dense training strategy")
+
+
+def _depvar_grid(call: DepVarCall, orders: dict, env, theta, p,
+                 gctx: _GridContext):
+    """Grid tensor of a (derivative of a) depvar call.
+
+    ``orders[slot]`` is the per-input-slot derivative order (0 if absent).
+    """
+    net = gctx.nets[call.name]
+    params = gctx.ctx.theta_for(call.name, theta)
+    want = len(gctx.ctx.dict_depvar_input[call.name])
+    if len(call.args) != want:
+        raise ValueError(
+            f"{call.name} called with {len(call.args)} args, declared with {want}")
+
+    by_axis: dict = {}        # grid axis -> (rank, N_i) combined features
+    const = None              # (rank,) product of constant-slot features
+    for slot, arg in enumerate(call.args):
+        axis, nodes = _slot_nodes(arg, env, theta, p, gctx)
+        F = net.axis_features(params, slot, nodes, orders.get(slot, 0))
+        if axis is None:
+            vec = F[:, 0]
+            const = vec if const is None else const * vec
+        elif axis in by_axis:
+            by_axis[axis] = by_axis[axis] * F   # two slots fed the same axis
+        else:
+            by_axis[axis] = F
+
+    if not by_axis:                              # fully pinned call, e.g. u(0, 0)
+        return jnp.sum(const)
+    terms, ops, out = [], [], ""
+    if const is not None:
+        terms.append("z")
+        ops.append(const)
+    for axis in sorted(by_axis):
+        terms.append("z" + _AXIS_LETTERS[axis])
+        ops.append(by_axis[axis])
+        out += _AXIS_LETTERS[axis]
+    val = jnp.einsum(",".join(terms) + "->" + out, *ops)
+    shape = [1] * gctx.k
+    for j, axis in enumerate(sorted(by_axis)):
+        shape[axis] = val.shape[j]
+    return val.reshape(shape)
+
+
+def _gev(expr: Expr, env: dict, theta, p, gctx: _GridContext):
+    """Recursive grid evaluator (the tensor-grid analog of lower._ev)."""
+    ctx = gctx.ctx
+    if isinstance(expr, Num):
+        return expr.value
+    if isinstance(expr, Sym):
+        try:
+            return env[expr.name]
+        except KeyError:
+            raise KeyError(
+                f"variable {expr.name!r} is unbound in this equation's "
+                f"grid layout {sorted(env)}") from None
+    if isinstance(expr, Param):
+        idx = ctx.eq_params.index(expr.name)
+        if ctx.param_estim:
+            return theta["p"][idx]
+        if p is None:
+            raise ValueError(f"parameter {expr.name!r} has no default value")
+        return p[idx]
+    if isinstance(expr, Call):
+        vals = [_gev(a, env, theta, p, gctx) for a in expr.args]
+        return PRIMITIVES[expr.op](*vals)
+    if isinstance(expr, DepVarCall):
+        return _depvar_grid(expr, {}, env, theta, p, gctx)
+    if isinstance(expr, Deriv):
+        target = expr.target
+        if not isinstance(target, DepVarCall):
+            raise ValueError(
+                f"derivative target {target!r} is not a dependent-variable "
+                "call; run expand_derivatives first")
+        inputs = ctx.dict_depvar_input[target.name]
+        orders: dict = {}
+        for w in expr.wrt:
+            if w.name not in inputs:
+                return jnp.zeros((), gctx.dtype)   # ∂u/∂z, z not an input of u
+            slot = inputs.index(w.name)
+            orders[slot] = orders.get(slot, 0) + 1
+        return _depvar_grid(target, orders, env, theta, p, gctx)
+    if isinstance(expr, IntegralExpr):
+        raise NotImplementedError(
+            "integro-differential terms are not supported by the separable "
+            "fast path; use GridTraining/StochasticTraining/QuadratureTraining")
+    raise TypeError(f"cannot lower {type(expr).__name__}")
+
+
+def build_separable_residual(eq: Eq, ctx: LoweringContext, nets: dict, dtype,
+                             default_p=None):
+    """Lower one equation to ``residual(nodes_list, theta) -> grid array``.
+
+    Returns ``(residual, axes)`` where ``axes`` is the ordered list of grid
+    Syms (get_argument order); ``nodes_list`` supplies the per-axis 1-D node
+    arrays in that order and the result has shape ``(N_1, …, N_k)``.
+    """
+    expr = Call("-", (expand_derivatives(eq.lhs), expand_derivatives(eq.rhs)))
+    axes = [a for a in get_argument(eq, ctx.depvars) if isinstance(a, Sym)]
+    p_arr = None if default_p is None else jnp.asarray(default_p)
+
+    def residual(nodes_list, theta):
+        gctx = _GridContext(ctx=ctx, nets=nets,
+                            nodes=[jnp.asarray(n, dtype) for n in nodes_list],
+                            k=len(axes), dtype=dtype)
+        env = _grid_env(gctx, axes)
+        out = _gev(expr, env, theta, p_arr, gctx)
+        grid_shape = tuple(n.shape[0] for n in gctx.nodes)
+        return jnp.broadcast_to(jnp.asarray(out), grid_shape)
+
+    return residual, axes
+
+
+class SeparableTraining(TrainingStrategy):
+    """Tensor-product-grid training for `SeparableNet` chains (SPINN).
+
+    * ``dx``: grid spacing (scalar or per-domain list) — static Julia-range
+      nodes per axis, like GridTraining (reference:
+      src/training_strategies.jl:13-15) but factorized.
+    * ``points``: per-axis node count with ``resample=True`` drawing fresh
+      uniform axis nodes every optimizer step (the stochastic variant —
+      the collocation *grid* is the product of the per-axis draws).
+
+    Builds its own factorized losses directly from the symbolic equations;
+    the pointwise datafree closures remain available on the representation
+    for parity checks.
+    """
+
+    def __init__(self, dx=None, *, points=None, resample: bool = False):
+        if (dx is None) == (points is None):
+            raise ValueError("give exactly one of dx= or points=")
+        if points is not None and not resample:
+            raise ValueError("points= requires resample=True (use dx= for a "
+                             "static grid)")
+        self.dx = dx
+        self.points = points
+        self.resample = resample
+
+    def build(self, pinnrep, datafree_pde, datafree_bc):
+        del datafree_pde, datafree_bc   # the factorized path lowers its own
+        dtype = pinnrep.dtype
+        acc = pinnrep.loss_accum_dtype
+        phis = pinnrep.phi if pinnrep.multioutput else [pinnrep.phi]
+        nets = {}
+        for name, phi in zip(pinnrep.depvars, phis):
+            if not isinstance(phi.module, SeparableNet):
+                raise TypeError(
+                    f"SeparableTraining requires every chain to be a "
+                    f"SeparableNet; chain for {name!r} is "
+                    f"{type(phi.module).__name__}")
+            nets[name] = phi.module
+
+        ctx = LoweringContext(
+            depvars=pinnrep.depvars, indvars=pinnrep.indvars,
+            dict_depvar_input=pinnrep.dict_depvar_input,
+            phis=[p.apply for p in phis], multioutput=pinnrep.multioutput,
+            derivative=pinnrep.derivative, eq_params=pinnrep.eq_params,
+            param_estim=pinnrep.param_estim)
+
+        spans = {d.variables.name: (float(infimum(d.domain)),
+                                    float(supremum(d.domain)))
+                 for d in pinnrep.domains}
+        if self.dx is not None:
+            dxs = (list(self.dx) if isinstance(self.dx, (list, tuple))
+                   else [self.dx] * len(pinnrep.domains))
+            static_nodes = {
+                d.variables.name: julia_range(spans[d.variables.name][0],
+                                              spans[d.variables.name][1], h)
+                for d, h in zip(pinnrep.domains, dxs)}
+        else:
+            static_nodes = None
+
+        def make_loss(eq, eq_tag):
+            residual, axes = build_separable_residual(
+                eq, ctx, nets, dtype, pinnrep.default_p)
+            for a in axes:
+                if a.name not in spans:
+                    raise ValueError(
+                        f"equation variable {a.name!r} has no domain")
+            if static_nodes is not None:
+                nodes = [jnp.asarray(static_nodes[a.name], dtype) for a in axes]
+
+                def loss(theta, key, nodes=nodes, residual=residual):
+                    del key
+                    return _msq(residual(nodes, theta), acc)
+            else:
+                bounds = [spans[a.name] for a in axes]
+
+                def loss(theta, key, bounds=bounds, residual=residual,
+                         eq_tag=eq_tag):
+                    ns = []
+                    for i, (lb, ub) in enumerate(bounds):
+                        k = jax.random.fold_in(jax.random.fold_in(key, eq_tag), i)
+                        ns.append(lb + (ub - lb) * jax.random.uniform(
+                            k, (self.points,), dtype))
+                    return _msq(residual(ns, theta), acc)
+            return loss
+
+        pde_losses = [make_loss(eq, i) for i, eq in enumerate(pinnrep.eqs)]
+        bc_losses = [make_loss(bc, 1000 + i)
+                     for i, bc in enumerate(pinnrep.bcs)]
+        return pde_losses, bc_losses

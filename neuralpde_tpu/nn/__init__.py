@@ -5,3 +5,4 @@ from .core import (
     softplus, swish, tanh, zeros_init,
 )
 from .adapters import FlaxAdapter, HaikuAdapter  # noqa: F401
+from .separable import SeparableNet, separable_mlp  # noqa: F401

@@ -1,0 +1,260 @@
+"""Separable PINN (SPINN) fast path: factorized tensor-grid lowering.
+
+Beyond-reference capability (the reference has no factorized trial
+functions); correctness is anchored by bit-level parity against the dense
+pointwise lowering (compile.lower) on the same grids.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+import neuralpde_tpu as npde
+from neuralpde_tpu import (
+    DepVar, DerivativeEngine, Differential, Domain, Eq, Integral, Interval,
+    PDESystem, PhysicsInformedNN, SeparableNet, SeparableTraining, Transformed,
+    discretize, mlp, separable_mlp, solve, symbols,
+)
+from neuralpde_tpu.compile.lower import LoweringContext, build_residual_function
+from neuralpde_tpu.compile.separable import build_separable_residual
+from neuralpde_tpu.symbolic.expr import sin
+
+
+def _ctx(net, depvars=("u",), inputs=("x", "y")):
+    names = list(depvars)
+    nets = net if isinstance(net, list) else [net]
+    return LoweringContext(
+        depvars=names, indvars=list(inputs),
+        dict_depvar_input={d: list(inputs) for d in names},
+        phis=[n.apply for n in nets], multioutput=len(names) > 1,
+        derivative=DerivativeEngine("jvp"))
+
+
+def poisson_eq():
+    x, y = symbols("x y")
+    u = DepVar("u")
+    Dxx = Differential(x) ** 2
+    Dyy = Differential(y) ** 2
+    eq = Eq(Dxx(u(x, y)) + Dyy(u(x, y)), -sin(np.pi * x) * sin(np.pi * y))
+    return x, y, u, eq
+
+
+class TestFactorizedParity:
+    def test_interior_residual_matches_dense(self):
+        x, y, u, eq = poisson_eq()
+        net = separable_mlp(2, hidden=(16, 16), rank=8)
+        theta = {"depvar": net.init(jax.random.key(0))}
+        ctx = _ctx(net)
+        res, axes = build_separable_residual(eq, ctx, {"u": net}, jnp.float64)
+        assert [a.name for a in axes] == ["x", "y"]
+        xs = np.linspace(0, 1, 9)
+        ys = np.linspace(0, 1, 7)
+        grid_r = res([xs, ys], theta)
+        dense = build_residual_function(eq, [x, y], ctx)
+        X, Y = np.meshgrid(xs, ys, indexing="ij")
+        dense_r = dense(jnp.asarray(np.stack([X.ravel(), Y.ravel()])),
+                        theta).reshape(9, 7)
+        np.testing.assert_allclose(np.asarray(grid_r), np.asarray(dense_r),
+                                   atol=1e-12)
+
+    def test_dirichlet_and_neumann_bc_match_dense(self):
+        x, y, u, _ = poisson_eq()
+        Dx = Differential(x)
+        net = separable_mlp(2, hidden=(16, 16), rank=8)
+        theta = {"depvar": net.init(jax.random.key(1))}
+        ctx = _ctx(net)
+        ys = np.linspace(0, 1, 11)
+        for bc in (Eq(u(0.0, y), 0.0), Eq(Dx(u(1.0, y)), sin(np.pi * y))):
+            res, axes = build_separable_residual(bc, ctx, {"u": net},
+                                                 jnp.float64)
+            assert [a.name for a in axes] == ["y"]
+            dense = build_residual_function(bc, [y], ctx)
+            np.testing.assert_allclose(
+                np.asarray(res([ys], theta)),
+                np.asarray(dense(jnp.asarray(ys)[None, :], theta)), atol=1e-12)
+
+    def test_pinned_point_call(self):
+        # fully pinned call u(0.3, 0.7) -> scalar grid (gauge-pinning BCs)
+        x, y, u, _ = poisson_eq()
+        net = separable_mlp(2, hidden=(8,), rank=4)
+        theta = {"depvar": net.init(jax.random.key(2))}
+        ctx = _ctx(net)
+        bc = Eq(u(0.3, 0.7), 0.0)
+        res, axes = build_separable_residual(bc, ctx, {"u": net}, jnp.float64)
+        assert axes == []
+        val = res([], theta)
+        direct = net.apply(theta["depvar"],
+                           jnp.asarray([[0.3], [0.7]]))[0, 0]
+        np.testing.assert_allclose(float(val), float(direct), rtol=1e-12)
+
+    def test_3d_parity_and_pointwise_apply(self):
+        x, y, z = symbols("x y z")
+        u = DepVar("u")
+        Dxx, Dyy, Dzz = (Differential(v) ** 2 for v in (x, y, z))
+        eq = Eq(Dxx(u(x, y, z)) + Dyy(u(x, y, z)) + Dzz(u(x, y, z)),
+                u(x, y, z))
+        net = separable_mlp(3, hidden=(8, 8), rank=6)
+        theta = {"depvar": net.init(jax.random.key(3))}
+        ctx = _ctx(net, inputs=("x", "y", "z"))
+        res, axes = build_separable_residual(eq, ctx, {"u": net}, jnp.float64)
+        xs, ys, zs = (np.linspace(0, 1, n) for n in (5, 4, 3))
+        grid_r = res([xs, ys, zs], theta)
+        assert grid_r.shape == (5, 4, 3)
+        dense = build_residual_function(eq, [x, y, z], ctx)
+        X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
+        dense_r = dense(jnp.asarray(np.stack([X.ravel(), Y.ravel(), Z.ravel()])),
+                        theta).reshape(5, 4, 3)
+        np.testing.assert_allclose(np.asarray(grid_r), np.asarray(dense_r),
+                                   atol=1e-12)
+
+    def test_transformed_axis_nets_factorize(self):
+        # hard-constraint axis transforms stay inside the factorization
+        x, y, u, eq = poisson_eq()
+        hard = lambda c, out: c * (1 - c) * out
+        net = SeparableNet([Transformed(mlp([1, 8, 6]), hard),
+                            Transformed(mlp([1, 8, 6]), hard)])
+        theta = {"depvar": net.init(jax.random.key(4))}
+        ctx = _ctx(net)
+        res, _ = build_separable_residual(eq, ctx, {"u": net}, jnp.float64)
+        xs = np.linspace(0, 1, 6)
+        dense = build_residual_function(eq, [x, y], ctx)
+        X, Y = np.meshgrid(xs, xs, indexing="ij")
+        np.testing.assert_allclose(
+            np.asarray(res([xs, xs], theta)),
+            np.asarray(dense(jnp.asarray(np.stack([X.ravel(), Y.ravel()])),
+                             theta).reshape(6, 6)), atol=1e-12)
+        # boundary values are exactly zero
+        vals = net.apply(theta["depvar"],
+                         jnp.asarray([[0.0, 1.0, 0.5], [0.5, 0.3, 1.0]]))
+        np.testing.assert_allclose(np.asarray(vals), 0.0, atol=1e-15)
+
+
+class TestAxisFeatures:
+    def test_jet_orders_match_finite_difference(self):
+        net = separable_mlp(2, hidden=(8, 8), rank=4)
+        params = net.init(jax.random.key(5))
+        nodes = jnp.linspace(0.1, 0.9, 7)
+        h = 1e-4
+        f0 = net.axis_features(params, 0, nodes, 0)
+        f1 = net.axis_features(params, 0, nodes, 1)
+        f2 = net.axis_features(params, 0, nodes, 2)
+        fp = net.axis_features(params, 0, nodes + h, 0)
+        fm = net.axis_features(params, 0, nodes - h, 0)
+        np.testing.assert_allclose(np.asarray((fp - fm) / (2 * h)),
+                                   np.asarray(f1), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray((fp + fm - 2 * f0) / h**2),
+                                   np.asarray(f2), rtol=1e-3, atol=1e-4)
+
+
+class TestEndToEnd:
+    def test_hard_constrained_poisson(self):
+        x, y, u, eq = poisson_eq()
+        domains = [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))]
+        sys = PDESystem(eq, [], domains, [x, y], [u(x, y)])
+        hard = lambda c, out: c * (1 - c) * out
+        net = SeparableNet([Transformed(mlp([1, 32, 32, 32]), hard),
+                            Transformed(mlp([1, 32, 32, 32]), hard)])
+        disc = PhysicsInformedNN(net, SeparableTraining(dx=1 / 64),
+                                 dtype=jnp.float32)
+        prob = discretize(sys, disc)
+        res = solve(prob, optax.adam(2e-3), maxiters=500)
+        xs = np.linspace(0, 1, 65)
+        X, Y = np.meshgrid(xs, xs, indexing="ij")
+        cord = jnp.asarray(np.stack([X.ravel(), Y.ravel()]), jnp.float32)
+        up = np.asarray(prob.pinnrep.phi(cord, res.params["depvar"]))
+        ua = (np.sin(np.pi * X) * np.sin(np.pi * Y) / (2 * np.pi**2)).ravel()
+        rel = np.linalg.norm(up.ravel() - ua) / np.linalg.norm(ua)
+        assert rel < 5e-3, rel
+
+    def test_resample_mode_trains(self):
+        x, y, u, eq = poisson_eq()
+        bcs = [Eq(u(0.0, y), 0.0), Eq(u(1.0, y), 0.0),
+               Eq(u(x, 0.0), 0.0), Eq(u(x, 1.0), 0.0)]
+        domains = [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))]
+        sys = PDESystem(eq, bcs, domains, [x, y], [u(x, y)])
+        net = separable_mlp(2, hidden=(16, 16), rank=16)
+        disc = PhysicsInformedNN(
+            net, SeparableTraining(points=32, resample=True),
+            dtype=jnp.float32)
+        prob = discretize(sys, disc)
+        l0 = float(prob.loss(prob.init_params,
+                             {"key": jax.random.key(0),
+                              "adaptive": _ada(prob)})[0])
+        res = solve(prob, optax.adam(2e-3), maxiters=400)
+        assert float(res.objective) < 0.3 * l0
+
+    def test_multioutput_system_parity(self):
+        x, y = symbols("x y")
+        u, v = DepVar("u"), DepVar("v")
+        Dx, Dy = Differential(x), Differential(y)
+        eq = Eq(Dx(u(x, y)) + Dy(v(x, y)), u(x, y) * v(x, y))
+        nets = [separable_mlp(2, (8,), 4), separable_mlp(2, (8,), 4)]
+        ctx = _ctx(nets, depvars=("u", "v"))
+        keys = jax.random.split(jax.random.key(6))
+        theta = {"depvar": {"u": nets[0].init(keys[0]),
+                            "v": nets[1].init(keys[1])}}
+        res, _ = build_separable_residual(
+            eq, ctx, {"u": nets[0], "v": nets[1]}, jnp.float64)
+        xs = np.linspace(0, 1, 5)
+        dense = build_residual_function(eq, [x, y], ctx)
+        X, Y = np.meshgrid(xs, xs, indexing="ij")
+        np.testing.assert_allclose(
+            np.asarray(res([xs, xs], theta)),
+            np.asarray(dense(jnp.asarray(np.stack([X.ravel(), Y.ravel()])),
+                             theta).reshape(5, 5)), atol=1e-12)
+
+
+def _ada(prob):
+    n_pde = len(prob.pinnrep.loss_functions.pde_loss_functions)
+    n_bc = len(prob.pinnrep.loss_functions.bc_loss_functions)
+    return {"pde_weights": jnp.ones(n_pde), "bc_weights": jnp.ones(n_bc),
+            "additional_weights": jnp.ones(1)}
+
+
+class TestErrors:
+    def test_dense_chain_rejected(self):
+        x, y, u, eq = poisson_eq()
+        domains = [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))]
+        sys = PDESystem(eq, [], domains, [x, y], [u(x, y)])
+        disc = PhysicsInformedNN(mlp([2, 8, 1]), SeparableTraining(dx=0.5))
+        with pytest.raises(TypeError, match="SeparableNet"):
+            discretize(sys, disc)
+
+    def test_axis_coupling_argument_rejected(self):
+        x, y = symbols("x y")
+        u = DepVar("u")
+        net = separable_mlp(2, (8,), 4)
+        ctx = _ctx(net)
+        theta = {"depvar": net.init(jax.random.key(7))}
+        eq = Eq(u(x * y, y), 0.0)     # first slot couples both grid axes
+        res, _ = build_separable_residual(eq, ctx, {"u": net}, jnp.float64)
+        with pytest.raises(ValueError, match="couples"):
+            res([np.linspace(0, 1, 4), np.linspace(0, 1, 4)], theta)
+
+    def test_integral_term_rejected(self):
+        x, y = symbols("x y")
+        u = DepVar("u")
+        Ix = Integral(x, 0.0, 1.0)
+        net = separable_mlp(2, (8,), 4)
+        ctx = _ctx(net)
+        theta = {"depvar": net.init(jax.random.key(8))}
+        eq = Eq(Ix(u(x, y)), 0.0)
+        res, _ = build_separable_residual(eq, ctx, {"u": net}, jnp.float64)
+        with pytest.raises(NotImplementedError, match="separable"):
+            res([np.linspace(0, 1, 4), np.linspace(0, 1, 4)], theta)
+
+    def test_strategy_arg_validation(self):
+        with pytest.raises(ValueError, match="exactly one"):
+            SeparableTraining()
+        with pytest.raises(ValueError, match="exactly one"):
+            SeparableTraining(dx=0.1, points=8)
+        with pytest.raises(ValueError, match="resample"):
+            SeparableTraining(points=8)
+
+    def test_mismatched_axis_ranks_rejected(self):
+        with pytest.raises(ValueError, match="rank"):
+            SeparableNet([mlp([1, 8, 4]), mlp([1, 8, 6])])
+        with pytest.raises(ValueError, match="scalar input"):
+            SeparableNet([mlp([2, 8, 4]), mlp([1, 8, 4])])
