@@ -484,6 +484,79 @@ def time_to_l2_hard(target: float = 1e-3, max_seconds: float = 60.0):
             return None
 
 
+def spinn_points_per_sec(n: int = 16384, rank: int = 64, steps: int = 20,
+                         print_json: bool = True):
+    """Separable-PINN (SPINN) training-step throughput: 2D Poisson on an
+    n x n tensor grid with a rank-`rank` factorized trial function and exact
+    (hard-constrained) boundary conditions.  The factorized lowering costs
+    n·2 axis-net evaluations + einsum contractions per step instead of n²
+    full-network evaluations, so the whole grid trains at billions of
+    points/sec on one chip (PERF.md).  Prints one JSON line."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/neuralpde_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import optax
+
+    import neuralpde_tpu as npde
+    from neuralpde_tpu import (
+        DepVar, Differential, Domain, Eq, Interval, PDESystem,
+        PhysicsInformedNN, SeparableNet, SeparableTraining, Transformed,
+        discretize, mlp, symbols,
+    )
+    from neuralpde_tpu.train import make_step
+
+    x, y = symbols("x y")
+    u = DepVar("u")
+    Dxx = Differential(x) ** 2
+    Dyy = Differential(y) ** 2
+    eq = Eq(Dxx(u(x, y)) + Dyy(u(x, y)),
+            -npde.sin(np.pi * x) * npde.sin(np.pi * y))
+    system = PDESystem(eq, [],
+                       [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))],
+                       [x, y], [u(x, y)])
+    hard = lambda c, o: c * (1 - c) * o
+    net = SeparableNet([Transformed(mlp([1, HIDDEN, HIDDEN, rank]), hard)
+                        for _ in range(2)])
+    disc = PhysicsInformedNN(net, SeparableTraining(dx=1.0 / (n - 1)),
+                             dtype=jnp.float32)
+    prob = discretize(system, disc)
+    opt = optax.adam(2e-3)
+    lf = prob.pinnrep.loss_functions
+    step = make_step(prob.loss, opt, prob.pinnrep.adaloss,
+                     lf.pde_loss_functions, lf.bc_loss_functions)
+    theta = prob.init_params
+    ada = prob.pinnrep.adaloss.init_state(1, 0, prob.pinnrep.dtype)
+    carry = (theta, opt.init(theta), ada, jnp.asarray(0, jnp.int32))
+    key = jax.random.key(0)
+
+    def multi(carry, key):
+        def body(c, _):
+            return step(c, key)
+        carry, (losses, _) = jax.lax.scan(body, carry, None, length=steps)
+        return carry, losses[-1]
+
+    jm = jax.jit(multi)
+    carry, loss = jm(carry, key)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    carry, loss = jm(carry, key)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    pps = n * n * steps / dt
+    if print_json:
+        print(json.dumps({
+            "metric": "2d_poisson_spinn_collocation_points_per_sec",
+            "value": round(pps, 1),
+            "unit": "points/sec",
+            "vs_baseline": round(pps / BASELINE_POINTS_PER_SEC, 1),
+            "note": f"separable (SPINN) trial fn, {n}x{n} grid, rank {rank}, "
+                    "hard-constrained BCs",
+        }))
+    return pps
+
+
 def main():
     import jax
 
@@ -545,11 +618,17 @@ def main():
     # interior batch + 4 bc batches of BATCH/8 points each, per step
     points_per_step = BATCH + 4 * (BATCH // 8)
     pps = points_per_step * STEPS_MEASURE / dt
+    # best-formulation companion number: the separable (SPINN) trial
+    # function trains the same 2D-Poisson problem at billions of pts/sec
+    # (factorized lowering; `--spinn` for the standalone line, PERF.md)
+    spinn = spinn_points_per_sec(print_json=False)
     print(json.dumps({
         "metric": "2d_poisson_collocation_points_per_sec",
         "value": round(pps, 1),
         "unit": "points/sec",
         "vs_baseline": round(pps / BASELINE_POINTS_PER_SEC, 3),
+        "spinn_points_per_sec": round(spinn, 1),
+        "spinn_vs_baseline": round(spinn / BASELINE_POINTS_PER_SEC, 1),
     }))
 
 
@@ -568,5 +647,7 @@ if __name__ == "__main__":
         time_to_l2_hybrid()
     elif "--to-l2-hard" in sys.argv:
         time_to_l2_hard()
+    elif "--spinn" in sys.argv:
+        spinn_points_per_sec()
     else:
         main()

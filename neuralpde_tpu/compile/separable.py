@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..nn.separable import SeparableNet
+from ..parallel.mesh import shard_axis_nodes
 from ..strategies import TrainingStrategy, _msq, julia_range
 from ..symbolic.expr import (
     PRIMITIVES, Call, DepVarCall, Deriv, Eq, Expr, IntegralExpr, Num, Param,
@@ -265,7 +266,11 @@ class SeparableTraining(TrainingStrategy):
 
                 def loss(theta, key, nodes=nodes, residual=residual):
                     del key
-                    return _msq(residual(nodes, theta), acc)
+                    # re-annotate in-trace: closed-over arrays bake in as
+                    # replicated constants under jit (see mesh.shard_batch)
+                    ns = ([shard_axis_nodes(nodes[0])] + list(nodes[1:])
+                          if nodes else nodes)
+                    return _msq(residual(ns, theta), acc)
             else:
                 bounds = [spans[a.name] for a in axes]
 
@@ -276,6 +281,8 @@ class SeparableTraining(TrainingStrategy):
                         k = jax.random.fold_in(jax.random.fold_in(key, eq_tag), i)
                         ns.append(lb + (ub - lb) * jax.random.uniform(
                             k, (self.points,), dtype))
+                    if ns:
+                        ns[0] = shard_axis_nodes(ns[0])
                     return _msq(residual(ns, theta), acc)
             return loss
 

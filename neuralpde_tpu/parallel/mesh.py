@@ -87,6 +87,23 @@ def shard_batch(x):
     return jax.lax.with_sharding_constraint(x, sharding)
 
 
+def shard_axis_nodes(x):
+    """Annotate a 1-D per-axis node array (separable tensor grids) as sharded
+    over the data axis.  The factorized residual's grid then has its first
+    dimension sharded: each device contracts its slice of axis-0 features
+    against replicated features of the other axes, and the loss mean induces
+    the only collective (psum).  No-op when no mesh is active or the node
+    count doesn't divide the axis."""
+    mesh = _ACTIVE_MESH
+    if mesh is None:
+        return x
+    n_axis = mesh.shape[BATCH_AXIS]
+    if x.ndim != 1 or x.shape[0] % n_axis != 0:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(BATCH_AXIS)))
+
+
 def replicate_params(params, mesh: Mesh | None = None):
     mesh = mesh or _ACTIVE_MESH
     if mesh is None:
