@@ -1,0 +1,97 @@
+"""3-D Helmholtz with a separable PINN — 2M-point grids at interactive speed.
+
+    Δu + k²u = q(x, y, z)   on [0,1]³,   u = 0 on the boundary,
+    q = (k² - 3 a²π²) sin(aπx) sin(aπy) sin(aπz)
+    analytic solution u* = sin(aπx) sin(aπy) sin(aπz)
+
+A dense PINN evaluates the full network (through a 2nd-order jvp per axis)
+at every collocation point: a 128³ grid is 2.1M points per step — hours of
+training on one chip.  The separable trial function (SPINN,
+`SeparableNet` + `SeparableTraining`, docs/src/tutorials/separable.md)
+assembles the same residual grid from 3×128 axis-net evaluations plus
+rank contractions, and the Dirichlet condition is enforced EXACTLY by a
+per-axis `Transformed` boundary factor x(1-x) — no BC losses at all.
+
+Measured on one TPU v5e chip (a=2, k=1, rank 64, 128³ grid):
+
+    2000 Adam iters, 6.6 s train wall-clock (after compile)
+    relative L2 vs the analytic solution: 5.2e-3
+    (5000 iters + cosine decay: 7.7 s, 4.1e-3 — capacity-limited there)
+
+Run: python examples/helmholtz3d_spinn.py
+"""
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from neuralpde_tpu import (
+    DepVar, Differential, Domain, Eq, Interval, PDESystem, PhysicsInformedNN,
+    SeparableNet, Transformed, discretize, mlp, sin, solve, symbols,
+)
+from neuralpde_tpu.compile.separable import SeparableTraining
+
+A = 2           # solution wavenumber (a·π per axis)
+K = 1.0         # Helmholtz k
+N_GRID = 128    # collocation nodes per axis -> 128^3 ≈ 2.1M points/step
+RANK = 64
+ITERS = 2000
+
+
+def build_problem():
+    x, y, z = symbols("x y z")
+    u = DepVar("u")
+    Dxx = Differential(x) ** 2
+    Dyy = Differential(y) ** 2
+    Dzz = Differential(z) ** 2
+    api = A * np.pi
+    q = (K**2 - 3 * api**2) * sin(api * x) * sin(api * y) * sin(api * z)
+    eq = Eq(Dxx(u(x, y, z)) + Dyy(u(x, y, z)) + Dzz(u(x, y, z))
+            + K**2 * u(x, y, z), q)
+    domains = [Domain(v, Interval(0, 1)) for v in (x, y, z)]
+    # hard-constrained: boundary factor on every axis net, no BC equations
+    system = PDESystem(eq, [], domains, [x, y, z], [u(x, y, z)])
+
+    hard = lambda c, out: c * (1 - c) * out
+    net = SeparableNet([Transformed(mlp([1, 64, 64, RANK]), hard)
+                        for _ in range(3)])
+    disc = PhysicsInformedNN(net, SeparableTraining(dx=1.0 / (N_GRID - 1)),
+                             dtype=jnp.float32)
+    return discretize(system, disc), net
+
+
+def rel_l2(prob, params, n_eval=64):
+    """Relative L2 vs the analytic solution on an n_eval³ grid, evaluated
+    through the factorized form (pointwise evaluation works too — the net is
+    a regular Module — but the factorized product is instant)."""
+    net = prob.pinnrep.phi.module
+    nodes = jnp.linspace(0.0, 1.0, n_eval, dtype=jnp.float32)
+    u_pred = np.asarray(net.grid(params["depvar"], [nodes] * 3))
+    g = np.sin(A * np.pi * np.asarray(nodes))
+    u_true = np.einsum("a,b,c->abc", g, g, g)
+    return float(np.linalg.norm(u_pred - u_true) / np.linalg.norm(u_true))
+
+
+def main():
+    prob, _ = build_problem()
+    print(f"3-D Helmholtz, {N_GRID}^3 = {N_GRID**3:,} collocation points "
+          f"per step, rank {RANK}")
+
+    # warm the compile outside the timed region
+    r = solve(prob, optax.adam(2e-3), maxiters=10, inner_steps=10)
+    t0 = time.perf_counter()
+    res = solve(prob, optax.adam(2e-3), maxiters=ITERS, inner_steps=100)
+    dt = time.perf_counter() - t0
+    err = rel_l2(prob, res.params)
+    pts = N_GRID**3 * ITERS / dt
+    print(f"{ITERS} Adam iters in {dt:.2f} s "
+          f"({pts/1e9:.1f}B collocation points/sec)")
+    print(f"final loss {float(res.objective):.3e}, relative L2 {err:.2e}")
+    return err
+
+
+if __name__ == "__main__":
+    main()

@@ -131,6 +131,22 @@ class TestFactorizedParity:
         np.testing.assert_allclose(np.asarray(vals), 0.0, atol=1e-15)
 
 
+class TestGridEval:
+    def test_grid_matches_pointwise_apply(self):
+        net = separable_mlp(3, (8,), 4)
+        params = net.init(jax.random.key(9))
+        xs, ys, zs = (jnp.linspace(0, 1, n) for n in (4, 3, 5))
+        grid = np.asarray(net.grid(params, [xs, ys, zs]))
+        assert grid.shape == (4, 3, 5)
+        X, Y, Z = np.meshgrid(np.asarray(xs), np.asarray(ys), np.asarray(zs),
+                              indexing="ij")
+        cord = jnp.asarray(np.stack([X.ravel(), Y.ravel(), Z.ravel()]))
+        pointwise = np.asarray(net.apply(params, cord)).reshape(4, 3, 5)
+        np.testing.assert_allclose(grid, pointwise, atol=1e-12)
+        with pytest.raises(ValueError, match="node arrays"):
+            net.grid(params, [xs, ys])
+
+
 class TestAxisFeatures:
     def test_jet_orders_match_finite_difference(self):
         net = separable_mlp(2, hidden=(8, 8), rank=4)
