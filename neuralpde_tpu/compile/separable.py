@@ -204,13 +204,21 @@ class SeparableTraining(TrainingStrategy):
     * ``points``: per-axis node count with ``resample=True`` drawing fresh
       uniform axis nodes every optimizer step (the stochastic variant —
       the collocation *grid* is the product of the per-axis draws).
+    * ``causal``: a time variable (Sym or name) switches equations whose
+      grid contains that axis to causality-respecting weighting (Wang,
+      Sankaran & Perdikaris 2022, as in `CausalTraining`): every time NODE
+      is a slab — its mean-square residual over the other axes L_i gets
+      weight ``exp(-causal_eps·Σ_{j<i} L_j)`` (gradient-blocked), so late
+      times only count once early times are resolved.  ``causal_eps=0``
+      reduces exactly to the unweighted loss.
 
     Builds its own factorized losses directly from the symbolic equations;
     the pointwise datafree closures remain available on the representation
     for parity checks.
     """
 
-    def __init__(self, dx=None, *, points=None, resample: bool = False):
+    def __init__(self, dx=None, *, points=None, resample: bool = False,
+                 causal=None, causal_eps: float = 1.0):
         if (dx is None) == (points is None):
             raise ValueError("give exactly one of dx= or points=")
         if points is not None and not resample:
@@ -219,6 +227,9 @@ class SeparableTraining(TrainingStrategy):
         self.dx = dx
         self.points = points
         self.resample = resample
+        self.causal = (causal.name if isinstance(causal, Sym) else causal)
+        self.causal_eps = causal_eps
+        self._weight_fns = []
 
     def build(self, pinnrep, datafree_pde, datafree_bc):
         del datafree_pde, datafree_bc   # the factorized path lowers its own
@@ -254,39 +265,95 @@ class SeparableTraining(TrainingStrategy):
         else:
             static_nodes = None
 
-        def make_loss(eq, eq_tag):
+        eps = self.causal_eps
+
+        def causal_reduce(r, t_pos, dt):
+            """Per-t-node causal weighting of a grid residual: one slab per
+            grid node, with the exponent discretizing the paper's continuous
+            form w(t) = exp(-eps·∫₀ᵗ L) as ``Σ_{j<i} L_j·Δt`` so eps is
+            independent of the node count (``mean(w·L)`` == plain
+            mean-square when eps == 0)."""
+            sq = r * r
+            if acc is not None:
+                sq = sq.astype(acc)
+            other = tuple(d for d in range(sq.ndim) if d != t_pos)
+            L = jnp.mean(sq, axis=other) if other else sq
+            csum = (jnp.cumsum(L) - L) * dt
+            w = jax.lax.stop_gradient(jnp.exp(-eps * csum))
+            return jnp.mean(w * L), w
+
+        def make_loss(eq, eq_tag, allow_causal):
             residual, axes = build_separable_residual(
                 eq, ctx, nets, dtype, pinnrep.default_p)
             for a in axes:
                 if a.name not in spans:
                     raise ValueError(
                         f"equation variable {a.name!r} has no domain")
+            t_pos = None
+            if allow_causal and self.causal is not None:
+                names = [a.name for a in axes]
+                if self.causal in names:
+                    t_pos = names.index(self.causal)
+
             if static_nodes is not None:
                 nodes = [jnp.asarray(static_nodes[a.name], dtype) for a in axes]
 
-                def loss(theta, key, nodes=nodes, residual=residual):
+                def make_nodes(key, nodes=nodes):
                     del key
                     # re-annotate in-trace: closed-over arrays bake in as
                     # replicated constants under jit (see mesh.shard_batch)
-                    ns = ([shard_axis_nodes(nodes[0])] + list(nodes[1:])
-                          if nodes else nodes)
-                    return _msq(residual(ns, theta), acc)
+                    return ([shard_axis_nodes(nodes[0])] + list(nodes[1:])
+                            if nodes else list(nodes))
             else:
                 bounds = [spans[a.name] for a in axes]
 
-                def loss(theta, key, bounds=bounds, residual=residual,
-                         eq_tag=eq_tag):
+                def make_nodes(key, bounds=bounds, eq_tag=eq_tag,
+                               t_pos=t_pos):
                     ns = []
                     for i, (lb, ub) in enumerate(bounds):
                         k = jax.random.fold_in(jax.random.fold_in(key, eq_tag), i)
-                        ns.append(lb + (ub - lb) * jax.random.uniform(
-                            k, (self.points,), dtype))
+                        draw = lb + (ub - lb) * jax.random.uniform(
+                            k, (self.points,), dtype)
+                        if i == t_pos:
+                            draw = jnp.sort(draw)   # causal cumsum needs order
+                        ns.append(draw)
                     if ns:
                         ns[0] = shard_axis_nodes(ns[0])
-                    return _msq(residual(ns, theta), acc)
+                    return ns
+
+            if t_pos is None:
+                def loss(theta, key, residual=residual, make_nodes=make_nodes):
+                    return _msq(residual(make_nodes(key), theta), acc)
+            else:
+                lo, hi = spans[self.causal]
+                n_t = (len(static_nodes[self.causal])
+                       if static_nodes is not None else self.points)
+                dt = (hi - lo) / max(n_t - 1, 1)
+
+                def loss(theta, key, residual=residual, make_nodes=make_nodes,
+                         t_pos=t_pos, dt=dt):
+                    return causal_reduce(residual(make_nodes(key), theta),
+                                         t_pos, dt)[0]
+
+                self._weight_fns.append(
+                    lambda theta, key, residual=residual,
+                    make_nodes=make_nodes, t_pos=t_pos, dt=dt:
+                    causal_reduce(residual(make_nodes(key), theta),
+                                  t_pos, dt)[1])
             return loss
 
-        pde_losses = [make_loss(eq, i) for i, eq in enumerate(pinnrep.eqs)]
-        bc_losses = [make_loss(bc, 1000 + i)
+        self._weight_fns = []
+        pde_losses = [make_loss(eq, i, True)
+                      for i, eq in enumerate(pinnrep.eqs)]
+        bc_losses = [make_loss(bc, 1000 + i, False)
                      for i, bc in enumerate(pinnrep.bcs)]
         return pde_losses, bc_losses
+
+    def causal_weights(self, theta, key):
+        """Per-time-node causal weights of each time-dependent equation (the
+        paper's convergence monitor: done when the last weight ≈ 1)."""
+        if not self._weight_fns:
+            raise ValueError(
+                "causal_weights requires a discretized problem built with "
+                "causal=<time var> (and at least one time-dependent equation)")
+        return [f(theta, key) for f in self._weight_fns]

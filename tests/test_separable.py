@@ -222,6 +222,91 @@ class TestEndToEnd:
                              theta).reshape(5, 5)), atol=1e-12)
 
 
+class TestParamEstim:
+    def test_inverse_diffusion_recovery(self):
+        """Separable inverse problem: recover the diffusion coefficient D of
+        u_t = D u_xx from data of the analytic decaying sine (D* = 0.2)."""
+        from neuralpde_tpu import Param
+
+        x, t = symbols("x t")
+        u = DepVar("u")
+        D = Param("D")
+        eq = Eq(Differential(t)(u(x, t)),
+                D * (Differential(x) ** 2)(u(x, t)))
+        bcs = [Eq(u(x, 0.0), sin(np.pi * x)),
+               Eq(u(0.0, t), 0.0), Eq(u(1.0, t), 0.0)]
+        domains = [Domain(x, Interval(0, 1)), Domain(t, Interval(0, 1))]
+        sys = PDESystem(eq, bcs, domains, [x, t], [u(x, t)],
+                        ps=[D], defaults={D: 0.05})   # wrong initial guess
+
+        D_true = 0.2
+        xs = np.linspace(0, 1, 24)
+        tsv = np.linspace(0, 1, 24)
+        X, T = np.meshgrid(xs, tsv, indexing="ij")
+        data = np.sin(np.pi * X) * np.exp(-D_true * np.pi**2 * T)
+        cord = jnp.asarray(np.stack([X.ravel(), T.ravel()]), jnp.float32)
+        want = jnp.asarray(data.ravel(), jnp.float32)
+
+        def data_loss(phi, theta, p):
+            return jnp.mean((phi(cord, theta)[0] - want) ** 2)
+
+        net = separable_mlp(2, (24, 24), 16)
+        disc = PhysicsInformedNN(
+            net, SeparableTraining(dx=1 / 24), dtype=jnp.float32,
+            param_estim=True, additional_loss=data_loss, seed=1)
+        prob = discretize(sys, disc)
+        res = solve(prob, optax.adam(3e-3), maxiters=2000)
+        D_hat = float(res.params["p"][0])
+        assert abs(D_hat - D_true) < 0.05 * D_true, D_hat
+
+
+class TestCausalSeparable:
+    def _heat(self, strategy):
+        x, t = symbols("x t")
+        u = DepVar("u")
+        eq = Eq(Differential(t)(u(x, t)),
+                0.1 * (Differential(x) ** 2)(u(x, t)))
+        bcs = [Eq(u(x, 0.0), sin(np.pi * x)),
+               Eq(u(0.0, t), 0.0), Eq(u(1.0, t), 0.0)]
+        domains = [Domain(x, Interval(0, 1)), Domain(t, Interval(0, 1))]
+        sys = PDESystem(eq, bcs, domains, [x, t], [u(x, t)])
+        net = separable_mlp(2, (16, 16), 12)
+        disc = PhysicsInformedNN(net, strategy, dtype=jnp.float32, seed=3)
+        return discretize(sys, disc), t
+
+    def test_eps_zero_equals_plain(self):
+        prob0, t = self._heat(SeparableTraining(dx=1 / 16))
+        probc, _ = self._heat(SeparableTraining(dx=1 / 16, causal=t,
+                                                causal_eps=0.0))
+        theta = prob0.init_params
+        key = jax.random.key(0)
+        l0 = prob0.pinnrep.loss_functions.pde_loss_functions[0](theta, key)
+        lc = probc.pinnrep.loss_functions.pde_loss_functions[0](theta, key)
+        np.testing.assert_allclose(float(l0), float(lc), rtol=1e-6)
+
+    def test_weights_monotone_and_train(self):
+        probc, t = self._heat(SeparableTraining(dx=1 / 16, causal="t",
+                                                causal_eps=5.0))
+        strat = probc.pinnrep.strategy
+        w = np.asarray(strat.causal_weights(probc.init_params,
+                                            jax.random.key(0))[0])
+        assert w.shape == (17,)
+        assert w[0] == 1.0
+        assert np.all(np.diff(w) <= 1e-12)        # non-increasing
+        res = solve(probc, optax.adam(2e-3), maxiters=300)
+        assert np.isfinite(float(res.objective))
+        w2 = np.asarray(strat.causal_weights(res.params,
+                                             jax.random.key(0))[0])
+        assert w2[-1] > w[-1]                     # causal front advanced
+
+    def test_resample_causal_sorted_axis(self):
+        probc, t = self._heat(SeparableTraining(points=16, resample=True,
+                                                causal="t", causal_eps=1.0))
+        l = probc.pinnrep.loss_functions.pde_loss_functions[0](
+            probc.init_params, jax.random.key(1))
+        assert np.isfinite(float(l))
+
+
 def _ada(prob):
     n_pde = len(prob.pinnrep.loss_functions.pde_loss_functions)
     n_bc = len(prob.pinnrep.loss_functions.bc_loss_functions)
