@@ -557,6 +557,69 @@ def spinn_points_per_sec(n: int = 16384, rank: int = 64, steps: int = 20,
     return pps
 
 
+def time_to_l2_spinn(target: float = 1e-3, max_seconds: float = 60.0):
+    """Separable + hard-constraint to-accuracy recipe: rank-64 factorized
+    trial fn with exact Dirichlet BCs on a 128^2 grid, timing wall-clock to
+    RMS < target vs the analytic 2D-Poisson solution."""
+    import sys
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/neuralpde_tpu_jax_cache")
+    import jax.numpy as jnp
+    import optax
+
+    import neuralpde_tpu as npde
+    from neuralpde_tpu import (
+        DepVar, Differential, Domain, Eq, Interval, PDESystem,
+        PhysicsInformedNN, SeparableNet, SeparableTraining, Transformed,
+        discretize, mlp, symbols, solve,
+    )
+
+    x, y = symbols("x y")
+    u = DepVar("u")
+    eq = Eq((Differential(x) ** 2)(u(x, y)) + (Differential(y) ** 2)(u(x, y)),
+            -npde.sin(np.pi * x) * npde.sin(np.pi * y))
+    system = PDESystem(eq, [],
+                       [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))],
+                       [x, y], [u(x, y)])
+    hard = lambda c, o: c * (1 - c) * o
+    net = SeparableNet([Transformed(mlp([1, 64, 64, 64]), hard)
+                        for _ in range(2)])
+    disc = PhysicsInformedNN(net, SeparableTraining(dx=1.0 / 127.0),
+                             dtype=jnp.float32)
+    prob = discretize(system, disc)
+
+    xs = np.linspace(0, 1, 51)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    want = np.sin(np.pi * X) * np.sin(np.pi * Y) / (2 * np.pi**2)
+    nodes = jnp.asarray(xs, jnp.float32)
+    eval_fn = jax.jit(lambda th: net.grid(th["depvar"], [nodes, nodes]))
+
+    def l2_of(theta):
+        return float(np.sqrt(np.mean(
+            (np.asarray(eval_fn(theta)) - want) ** 2)))
+
+    r = solve(prob, optax.adam(2e-3), maxiters=100, inner_steps=100)  # warm
+    l2_of(r.u)
+    t0 = time.perf_counter()
+    theta, it = prob.init_params, 0
+    while True:
+        r = solve(prob.with_params(theta), optax.adam(2e-3), maxiters=100,
+                  inner_steps=100)
+        theta, it = r.u, it + 100
+        l2 = l2_of(theta)
+        el = time.perf_counter() - t0
+        print(f"[spinn] iter={it} l2={l2:.2e} t={el:.2f}s", file=sys.stderr)
+        if l2 < target:
+            print(f"[spinn] reached L2<{target} in {el:.2f}s", file=sys.stderr)
+            return round(el, 2)
+        if el > max_seconds:
+            print(f"[spinn] did not reach target in {max_seconds}s",
+                  file=sys.stderr)
+            return None
+
+
 def main():
     import jax
 
@@ -649,5 +712,7 @@ if __name__ == "__main__":
         time_to_l2_hard()
     elif "--spinn" in sys.argv:
         spinn_points_per_sec()
+    elif "--to-l2-spinn" in sys.argv:
+        time_to_l2_spinn()
     else:
         main()
