@@ -11,7 +11,6 @@ import jax.numpy as jnp
 import optax
 import pytest
 
-import neuralpde_tpu as npde
 from neuralpde_tpu import (
     DepVar, DerivativeEngine, Differential, Domain, Eq, Integral, Interval,
     PDESystem, PhysicsInformedNN, SeparableNet, SeparableTraining, Transformed,
