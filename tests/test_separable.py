@@ -108,6 +108,28 @@ class TestFactorizedParity:
         np.testing.assert_allclose(np.asarray(grid_r), np.asarray(dense_r),
                                    atol=1e-12)
 
+    def test_fourth_order_ks_operator_parity(self):
+        # Kuramoto-Sivashinsky-type operator: u_t + u*u_x + u_xx + u_xxxx
+        x, t = symbols("x t")
+        u = DepVar("u")
+        Dt = Differential(t)
+        Dx = Differential(x)
+        eq = Eq(Dt(u(x, t)) + u(x, t) * Dx(u(x, t))
+                + (Dx ** 2)(u(x, t)) + (Dx ** 4)(u(x, t)), 0.0)
+        net = separable_mlp(2, hidden=(12, 12), rank=6)
+        theta = {"depvar": net.init(jax.random.key(11))}
+        ctx = _ctx(net, inputs=("x", "t"))
+        res, axes = build_separable_residual(eq, ctx, {"u": net}, jnp.float64)
+        xs = np.linspace(0, 1, 7)
+        tsv = np.linspace(0, 1, 5)
+        grid_r = res([xs, tsv], theta)
+        dense = build_residual_function(eq, [x, t], ctx)
+        X, T = np.meshgrid(xs, tsv, indexing="ij")
+        dense_r = dense(jnp.asarray(np.stack([X.ravel(), T.ravel()])),
+                        theta).reshape(7, 5)
+        np.testing.assert_allclose(np.asarray(grid_r), np.asarray(dense_r),
+                                   rtol=1e-9, atol=1e-9)
+
     def test_transformed_axis_nets_factorize(self):
         # hard-constraint axis transforms stay inside the factorization
         x, y, u, eq = poisson_eq()
