@@ -1,0 +1,154 @@
+"""Matrix-free damped Gauss-Newton (Levenberg-Marquardt) solver.
+
+Beyond-reference capability (the reference trains only with first-order +
+(L-)BFGS via Optimization.jl); anchored by the residual-vector invariant
+``||r(θ)||² == full_loss(θ)`` and accuracy floors far below Adam's.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from neuralpde_tpu import (
+    DepVar, Differential, Domain, Eq, GridTraining, Interval, NonAdaptiveLoss,
+    PDESystem, PhysicsInformedNN, SeparableNet, StochasticTraining, Sym,
+    Transformed, build_residual_vector, discretize, mlp, separable_mlp,
+    solve_gauss_newton, symbols,
+)
+from neuralpde_tpu.compile.separable import SeparableTraining
+from neuralpde_tpu.symbolic.expr import sin
+
+
+def _poisson_1d(strategy, dtype=jnp.float64, **kw):
+    x = Sym("x")
+    u = DepVar("u")
+    Dxx = Differential(x) ** 2
+    sys = PDESystem(Eq(Dxx(u(x)), -(np.pi**2) * sin(np.pi * x)),
+                    [Eq(u(0.0), 0.0), Eq(u(1.0), 0.0)],
+                    [Domain(x, Interval(0, 1))], [x], [u(x)])
+    disc = PhysicsInformedNN(mlp([1, 16, 16, 1]), strategy, dtype=dtype, **kw)
+    return discretize(sys, disc)
+
+
+class TestResidualVector:
+    def test_norm_squared_equals_full_loss(self):
+        # custom BC weights must fold into the residual scaling
+        prob = _poisson_1d(GridTraining(0.05),
+                           adaptive_loss=NonAdaptiveLoss(
+                               pde_loss_weights=2.0,
+                               bc_loss_weights=[3.0, 5.0]))
+        r_fn = build_residual_vector(prob.pinnrep)
+        theta = prob.init_params
+        r = r_fn(theta)
+        lstate = {"key": jax.random.key(0),
+                  "adaptive": prob.pinnrep.adaloss.init_state(
+                      1, 2, prob.pinnrep.dtype)}
+        full, _ = prob.loss(theta, lstate)
+        np.testing.assert_allclose(float(jnp.sum(r * r)), float(full),
+                                   rtol=1e-12)
+
+    def test_separable_norm_squared_equals_full_loss(self):
+        x, y = symbols("x y")
+        u = DepVar("u")
+        eq = Eq((Differential(x) ** 2)(u(x, y))
+                + (Differential(y) ** 2)(u(x, y)),
+                -sin(np.pi * x) * sin(np.pi * y))
+        bcs = [Eq(u(0.0, y), 0.0), Eq(u(1.0, y), 0.0)]
+        sys = PDESystem(eq, bcs,
+                        [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))],
+                        [x, y], [u(x, y)])
+        net = separable_mlp(2, (8,), 4)
+        prob = discretize(sys, PhysicsInformedNN(
+            net, SeparableTraining(dx=1 / 8), dtype=jnp.float64))
+        r = build_residual_vector(prob.pinnrep)(prob.init_params)
+        lstate = {"key": jax.random.key(0),
+                  "adaptive": prob.pinnrep.adaloss.init_state(
+                      1, 2, prob.pinnrep.dtype)}
+        full, _ = prob.loss(prob.init_params, lstate)
+        np.testing.assert_allclose(float(jnp.sum(r * r)), float(full),
+                                   rtol=1e-12)
+
+    def test_stochastic_strategy_rejected(self):
+        prob = _poisson_1d(StochasticTraining(64))
+        with pytest.raises(TypeError, match="deterministic"):
+            build_residual_vector(prob.pinnrep)
+
+    def test_resampled_separable_rejected(self):
+        x, y = symbols("x y")
+        u = DepVar("u")
+        eq = Eq((Differential(x) ** 2)(u(x, y)), u(x, y))
+        sys = PDESystem(eq, [],
+                        [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))],
+                        [x, y], [u(x, y)])
+        prob = discretize(sys, PhysicsInformedNN(
+            separable_mlp(2, (8,), 4),
+            SeparableTraining(points=8, resample=True)))
+        with pytest.raises(ValueError, match="deterministic"):
+            build_residual_vector(prob.pinnrep)
+
+
+class TestSolve:
+    def test_dense_1d_poisson_high_accuracy(self):
+        prob = _poisson_1d(GridTraining(0.02))
+        res = solve_gauss_newton(prob, maxiters=60, cg_iters=100)
+        xs = np.linspace(0, 1, 101)
+        up = np.asarray(prob.pinnrep.phi(jnp.asarray(xs)[None, :],
+                                         res.params["depvar"])).ravel()
+        err = float(np.max(np.abs(up - np.sin(np.pi * xs))))
+        assert err < 1e-3, err
+        assert res.objective < 1e-4
+        # LM never accepts an ascent step: history is non-increasing
+        assert all(b <= a + 1e-15 for a, b in zip(res.history, res.history[1:]))
+
+    def test_separable_2d_reaches_adam_unreachable_floor(self):
+        x, y = symbols("x y")
+        u = DepVar("u")
+        eq = Eq((Differential(x) ** 2)(u(x, y))
+                + (Differential(y) ** 2)(u(x, y)),
+                -sin(np.pi * x) * sin(np.pi * y))
+        sys = PDESystem(eq, [],
+                        [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))],
+                        [x, y], [u(x, y)])
+        hard = lambda c, o: c * (1 - c) * o
+        net = SeparableNet([Transformed(mlp([1, 24, 24, 24]), hard)
+                            for _ in range(2)])
+        prob = discretize(sys, PhysicsInformedNN(
+            net, SeparableTraining(dx=1 / 32), dtype=jnp.float64))
+        res = solve_gauss_newton(prob, maxiters=60, cg_iters=100)
+        xs = np.linspace(0, 1, 65)
+        X, Y = np.meshgrid(xs, xs, indexing="ij")
+        cord = jnp.asarray(np.stack([X.ravel(), Y.ravel()]))
+        up = np.asarray(prob.pinnrep.phi(cord, res.params["depvar"])).ravel()
+        ua = (np.sin(np.pi * X) * np.sin(np.pi * Y) / (2 * np.pi**2)).ravel()
+        rel = float(np.linalg.norm(up - ua) / np.linalg.norm(ua))
+        assert rel < 1e-3, rel
+
+    def test_param_estim_flat_vector_roundtrip(self):
+        # GN ravels {depvar, p}; inverse problems train through it
+        from neuralpde_tpu import Param
+
+        x = Sym("x")
+        u = DepVar("u")
+        lam = Param("lam")
+        sys = PDESystem(Eq(Differential(x)(u(x)), lam * u(x)),
+                        [Eq(u(0.0), 1.0)],
+                        [Domain(x, Interval(0, 1))], [x], [u(x)],
+                        ps=[lam], defaults={lam: 0.4})
+        xs = np.linspace(0, 1, 33)
+        data = jnp.asarray(np.exp(0.7 * xs))
+
+        def data_loss(phi, theta, p):
+            return jnp.mean((phi(jnp.asarray(xs)[None, :], theta)[0]
+                             - data) ** 2)
+
+        disc = PhysicsInformedNN(mlp([1, 12, 1]), GridTraining(1 / 32),
+                                 dtype=jnp.float64, param_estim=True,
+                                 additional_loss=None)
+        prob = discretize(sys, disc)
+        # physics-only GN (additional_loss is outside the LSQ residual);
+        # with lam free the best fit of u'=lam*u, u(0)=1 keeps lam finite
+        res = solve_gauss_newton(prob, maxiters=30)
+        assert np.isfinite(res.objective)
+        assert "p" in res.params and res.params["p"].shape == (1,)
