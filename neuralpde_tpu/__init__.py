@@ -42,7 +42,9 @@ from .parallel.mesh import (
     use_mesh,
 )
 from .train import SolveResult, solve, solve_hybrid
-from .gauss_newton import build_residual_vector, solve_gauss_newton
+from .gauss_newton import (
+    build_residual_vector, lm_least_squares, solve_gauss_newton,
+)
 from .utils.pytree import vector_to_parameters, parameters_to_vector
 from .nn.dgm import DGM, DGMLSTMLayer
 from .nn.deeponet import DeepONet

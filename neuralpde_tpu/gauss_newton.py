@@ -125,12 +125,14 @@ def build_residual_vector(pinnrep) -> Callable:
     return residuals
 
 
-def solve_gauss_newton(prob, *, maxiters: int = 50, damping: float = 1e-3,
-                       cg_iters: int = 100, damping_factor: float = 3.0,
-                       min_damping: float = 1e-12, max_damping: float = 1e8,
-                       abstol: float = 0.0, verbose: bool = False,
-                       callback=None) -> SolveResult:
-    """Levenberg-Marquardt on the PINN least-squares objective.
+def lm_least_squares(r_fn: Callable, init_params, *, maxiters: int = 50,
+                     damping: float = 1e-3, cg_iters: int = 100,
+                     damping_factor: float = 3.0, min_damping: float = 1e-12,
+                     max_damping: float = 1e8, abstol: float = 0.0,
+                     verbose: bool = False, callback=None) -> SolveResult:
+    """Levenberg-Marquardt on ``loss(θ) = ||r_fn(θ)||²`` for any residual
+    pytree-function (bring your own residual — e.g. ODE physics + data
+    stacks for inverse problems).
 
     Each outer iteration jits one fused program: residual + gradient, a
     ``cg_iters``-step matrix-free CG solve of ``(JᵀJ + λI)δ = Jᵀr``, and the
@@ -138,8 +140,7 @@ def solve_gauss_newton(prob, *, maxiters: int = 50, damping: float = 1e-3,
     divide it by ``damping_factor``, rejected steps multiply (θ unchanged).
     Stops at ``maxiters`` outer iterations or ``loss < abstol``.
     """
-    r_fn = build_residual_vector(prob.pinnrep)
-    v0, unravel = ravel_pytree(prob.init_params)
+    v0, unravel = ravel_pytree(init_params)
 
     def r_flat(v):
         return r_fn(unravel(v))
@@ -192,3 +193,11 @@ def solve_gauss_newton(prob, *, maxiters: int = 50, damping: float = 1e-3,
     theta = unravel(v)
     return SolveResult(u=theta, objective=loss, iterations=it,
                        aux={"damping": lam}, history=history)
+
+
+def solve_gauss_newton(prob, **kwargs) -> SolveResult:
+    """Levenberg-Marquardt on a discretized `TrainingProblem`'s least-squares
+    objective (see `lm_least_squares` for the knobs; deterministic strategies
+    only — GridTraining or static-grid SeparableTraining)."""
+    return lm_least_squares(build_residual_vector(prob.pinnrep),
+                            prob.init_params, **kwargs)
