@@ -111,9 +111,61 @@ def build_residual_vector(pinnrep) -> Callable:
                   + [sep_block(bc, w) for bc, w in zip(pinnrep.bcs, w_bc)])
 
     elif isinstance(strategy, QuadratureTraining):
-        raise NotImplementedError(
-            "QuadratureTraining residual vectors need the quadrature weights "
-            "folded per point; use GridTraining for Gauss-Newton")
+        # fixed composite rule (deterministic): fold the per-point quadrature
+        # weights into the residual scaling so ||r||² == Σ w_i·Σ_j q_j·r_j²
+        from .ops.quadrature import tensor_rule_box
+        from .symbolic.expr import Sym
+        from .symbolic.system import infimum, supremum
+
+        lo = {d.variables.name: infimum(d.domain) for d in pinnrep.domains}
+        hi = {d.variables.name: supremum(d.domain) for d in pinnrep.domains}
+        theta0 = getattr(pinnrep, "flat_init_params", None)
+
+        def quad_block(f, args, w):
+            syms = [a for a in args if isinstance(a, Sym)]
+            if not syms:
+                cord = jnp.zeros((len(args), 10), pinnrep.dtype)
+
+                def r(theta):
+                    out = jnp.ravel(f(cord, theta))
+                    return out * jnp.sqrt(
+                        jnp.asarray(w / out.size, out.dtype))
+
+                return r
+            lb = [lo[s.name] for s in syms]
+            ub = [hi[s.name] for s in syms]
+            area = float(np.prod(np.asarray(ub, dtype=np.float64)
+                                 - np.asarray(lb, dtype=np.float64)))
+
+            def rule(p):
+                nodes, weights = tensor_rule_box(lb, ub, strategy.order, p)
+                return (jnp.asarray(nodes, pinnrep.dtype),
+                        jnp.asarray(weights / area, pinnrep.dtype))
+
+            # replay the strategy's build-time auto-refinement so the panel
+            # count (and hence ||r||²) matches the trained objective exactly
+            integral_at = None
+            if theta0 is not None and strategy.panels is None:
+                def integral_at(p):
+                    n, wq = rule(p)
+                    return jnp.sum(f(n, theta0) ** 2 * wq)
+
+            nodes, q = rule(strategy.resolve_panels(integral_at, len(syms)))
+
+            def r(theta):
+                out = jnp.atleast_2d(f(nodes, theta))   # (rows, Q)
+                # matches the strategy's sum(r²·q) reduction (no /rows)
+                scale = jnp.sqrt(q[None, :] * jnp.asarray(w, out.dtype))
+                return jnp.ravel(out * scale)
+
+            return r
+
+        blocks = (
+            [quad_block(f, a, w) for f, a, w in
+             zip(lf.datafree_pde_loss_functions, pinnrep.pde_args, w_pde)]
+            + [quad_block(f, a, w) for f, a, w in
+               zip(lf.datafree_bc_loss_functions, pinnrep.bc_args, w_bc)])
+
     else:
         raise TypeError(
             f"Gauss-Newton needs a deterministic strategy (GridTraining or "

@@ -70,6 +70,25 @@ class TestResidualVector:
         np.testing.assert_allclose(float(jnp.sum(r * r)), float(full),
                                    rtol=1e-12)
 
+    def test_quadrature_norm_squared_equals_full_loss(self):
+        from neuralpde_tpu import QuadratureTraining
+
+        prob = _poisson_1d(QuadratureTraining(order=6, panels=None))
+        r = build_residual_vector(prob.pinnrep)(prob.init_params)
+        lstate = {"key": jax.random.key(0),
+                  "adaptive": prob.pinnrep.adaloss.init_state(
+                      1, 2, prob.pinnrep.dtype)}
+        full, _ = prob.loss(prob.init_params, lstate)
+        np.testing.assert_allclose(float(jnp.sum(r * r)), float(full),
+                                   rtol=1e-12)
+
+    def test_quadrature_gn_trains(self):
+        from neuralpde_tpu import QuadratureTraining
+
+        prob = _poisson_1d(QuadratureTraining(order=8, panels=4))
+        res = solve_gauss_newton(prob, maxiters=60, cg_iters=80)
+        assert res.objective < 1e-4, res.objective
+
     def test_stochastic_strategy_rejected(self):
         prob = _poisson_1d(StochasticTraining(64))
         with pytest.raises(TypeError, match="deterministic"):
