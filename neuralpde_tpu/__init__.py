@@ -51,10 +51,10 @@ from .nn.deeponet import DeepONet
 from .nn.separable import SeparableNet, separable_mlp
 from .compile.separable import SeparableTraining, build_separable_residual
 from .solvers import (
-    DAEProblem, DeepGalerkin, NNDAE, NNODE, NNSDE, ODEPhi, ODEProblem,
-    ODESolution, PINOODE, PINOODESolution, SDEPINN, SDEProblem, SDEsol,
-    neural_adapter, solve_dae, solve_ode, solve_pino_ode, solve_sde,
-    solve_sde_weak,
+    DAEProblem, DeepGalerkin, DeepRitz, NNDAE, NNODE, NNSDE, ODEPhi,
+    ODEProblem, ODESolution, PINOODE, PINOODESolution, SDEPINN, SDEProblem,
+    SDEsol, discretize_ritz, neural_adapter, solve_dae, solve_ode,
+    solve_pino_ode, solve_sde, solve_sde_weak,
 )
 from .bayesian import (
     BNNODE, BPINNsolution, BPINNstats, ahmc_bayesian_pinn_ode,

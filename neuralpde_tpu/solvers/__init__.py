@@ -6,3 +6,4 @@ from .pino import PINOODE, PINOODESolution, PINOPhi, solve_pino_ode  # noqa: F40
 from .adapter import neural_adapter  # noqa: F401
 from .sde import NNSDE, SDEPhi, SDEsol, solve_sde  # noqa: F401
 from .sde_weak import SDEPINN, solve_sde_weak  # noqa: F401
+from .ritz import DeepRitz, discretize_ritz  # noqa: F401

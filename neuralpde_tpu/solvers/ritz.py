@@ -1,0 +1,156 @@
+"""Deep Ritz method — variational (energy-minimization) training.
+
+Beyond the reference (which trains only strong-form residuals): for PDEs
+with a variational principle, minimize the energy functional directly
+
+    E[u] = |Ω| · mean_Ω e(x, u, ∇u)  +  Σ_i β·mean r_bc_i²
+
+with ``e`` any symbolic expression of the dependent variables and their
+derivatives (E & Yu 2018, "The Deep Ritz method").  The energy form needs
+one derivative order less than the strong form (½|∇u|² vs Δu), so it
+tolerates rougher solutions and cheaper trial functions; its minimizer is
+the weak solution.
+
+Built on the existing pipeline: the energy integrand is lowered by the
+same recursive evaluator as every residual (`compile.lower`), the boundary
+terms are ordinary penalized BC losses, and the result is a standard
+`TrainingProblem` — `solve`, adaptive losses, meshes, and checkpointing
+all work unchanged.  Energy collocation uses the strategy's nodes: static
+grids (`GridTraining`) evaluate a deterministic Riemann/uniform-mean
+estimate; `StochasticTraining` resamples uniform points each step
+(Monte-Carlo energy, the paper's setting).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..compile.discretize import (
+    PhysicsInformedNN, PINNLossFunctions, TrainingProblem, symbolic_discretize,
+)
+from ..compile.lower import build_residual_function, get_argument
+from ..ops import sampling
+from ..strategies import GridTraining, StochasticTraining, generate_training_sets
+from ..symbolic.expr import Eq, Expr, Sym
+from ..symbolic.system import PDESystem, infimum, supremum
+
+
+class DeepRitz:
+    """Deep Ritz algorithm config.
+
+    * chain: trial-function Module (or list for multioutput systems)
+    * energy: symbolic energy density e(x, u, ∇u, …) — an `Expr`
+    * strategy: GridTraining (deterministic mean) or StochasticTraining
+      (fresh uniform Monte-Carlo points per step); default
+      StochasticTraining(4096)
+    * bc_weight: penalty weight β on every boundary loss
+    * kwargs forwarded to PhysicsInformedNN (dtype, seed, derivative, ...)
+    """
+
+    def __init__(self, chain, energy: Expr, *, strategy=None,
+                 bc_weight: float = 500.0, **kwargs):
+        if not isinstance(energy, Expr):
+            raise TypeError("energy must be a symbolic Expr")
+        self.chain = chain
+        self.energy = energy
+        self.strategy = strategy or StochasticTraining(4096)
+        self.bc_weight = float(bc_weight)
+        self.kwargs = kwargs
+
+
+def discretize_ritz(pde_system: PDESystem, alg: DeepRitz) -> TrainingProblem:
+    """PDESystem (its ``eqs`` are ignored — the energy replaces them) +
+    DeepRitz -> TrainingProblem minimizing ``|Ω|·mean e + β·Σ mean r_bc²``."""
+    if not isinstance(alg.strategy, (GridTraining, StochasticTraining)):
+        raise TypeError("DeepRitz supports GridTraining or StochasticTraining "
+                        f"energy collocation; got {type(alg.strategy).__name__}")
+
+    bc_system = PDESystem([], pde_system.bcs, pde_system.domains,
+                          pde_system.ivs, pde_system.dvs, ps=pde_system.ps,
+                          defaults=pde_system.defaults)
+    from ..adaptive import NonAdaptiveLoss
+
+    n_bc = len(pde_system.bcs)
+    disc = PhysicsInformedNN(
+        alg.chain, alg.strategy,
+        adaptive_loss=NonAdaptiveLoss(bc_loss_weights=[alg.bc_weight] * n_bc),
+        **alg.kwargs)
+    pinnrep = symbolic_discretize(bc_system, disc)
+    bc_loss_fns = pinnrep.loss_functions.bc_loss_functions
+    dtype = pinnrep.dtype
+
+    # --- energy term: lower e with the same machinery as any residual -----
+    energy_eq = Eq(alg.energy, 0.0)
+    args = get_argument(energy_eq, pinnrep.depvars)
+    syms = [a for a in args if isinstance(a, Sym)]
+    ctx_layout = [a if isinstance(a, Sym) else None for a in args]
+    from ..compile.lower import LoweringContext
+
+    phis = pinnrep.phi if pinnrep.multioutput else [pinnrep.phi]
+    ctx = LoweringContext(
+        depvars=pinnrep.depvars, indvars=pinnrep.indvars,
+        dict_depvar_input=pinnrep.dict_depvar_input,
+        phis=[p.apply for p in phis], multioutput=pinnrep.multioutput,
+        derivative=pinnrep.derivative, eq_params=pinnrep.eq_params,
+        param_estim=pinnrep.param_estim)
+    e_fn = build_residual_function(energy_eq, ctx_layout, ctx,
+                                   pinnrep.default_p)
+
+    spans = {d.variables.name: (float(infimum(d.domain)),
+                                float(supremum(d.domain)))
+             for d in pde_system.domains}
+    for s in syms:
+        if s.name not in spans:
+            raise ValueError(f"energy variable {s.name!r} has no domain")
+    volume = float(np.prod([spans[s.name][1] - spans[s.name][0]
+                            for s in syms])) if syms else 1.0
+
+    if isinstance(alg.strategy, GridTraining):
+        sets = generate_training_sets(pde_system.domains, alg.strategy.dx,
+                                      [args], dtype)
+        e_nodes = jnp.asarray(sets[0])
+
+        def energy_loss(theta, key):
+            del key
+            return volume * jnp.mean(e_fn(e_nodes, theta))
+    else:
+        lb = jnp.asarray([spans[s.name][0] for s in syms], dtype)
+        ub = jnp.asarray([spans[s.name][1] for s in syms], dtype)
+        n_pts = alg.strategy.points
+
+        def energy_loss(theta, key):
+            pts = sampling.uniform_random(key, n_pts, lb, ub, dtype=dtype)
+            return volume * jnp.mean(e_fn(pts, theta))
+
+    bc_w = alg.bc_weight
+
+    def full_loss(theta, lstate):
+        key = lstate["key"]
+        e_val = energy_loss(theta, jax.random.fold_in(key, 0))
+        bc_keys = jax.random.split(jax.random.fold_in(key, 1), max(n_bc, 1))
+        bc_losses = (jnp.stack([f(theta, k) for f, k
+                                in zip(bc_loss_fns, bc_keys)]) if n_bc
+                     else jnp.zeros((0,), dtype))
+        total = e_val + bc_w * jnp.sum(bc_losses)
+        aux = {"pde_losses": jnp.asarray([e_val]), "bc_losses": bc_losses,
+               "weighted_pde_losses": jnp.asarray([e_val]),
+               "weighted_bc_losses": bc_w * bc_losses,
+               "energy": e_val, "full_weighted_loss": total}
+        return total, aux
+
+    pinnrep.loss_functions = PINNLossFunctions(
+        bc_loss_functions=bc_loss_fns,
+        pde_loss_functions=[lambda theta, key: energy_loss(theta, key)],
+        full_loss_function=full_loss,
+        additional_loss_function=None,
+        datafree_pde_loss_functions=[e_fn],
+        datafree_bc_loss_functions=(
+            pinnrep.loss_functions.datafree_bc_loss_functions),
+    )
+    return TrainingProblem(loss=full_loss,
+                           init_params=pinnrep.flat_init_params,
+                           pinnrep=pinnrep)

@@ -70,6 +70,17 @@ class TestResidualVector:
         np.testing.assert_allclose(float(jnp.sum(r * r)), float(full),
                                    rtol=1e-12)
 
+    def test_gradient_enhanced_norm_squared_equals_full_loss(self):
+        # gPINN residuals have extra rows; the flattening must match _msq
+        prob = _poisson_1d(GridTraining(0.1), gradient_enhanced=0.3)
+        r = build_residual_vector(prob.pinnrep)(prob.init_params)
+        lstate = {"key": jax.random.key(0),
+                  "adaptive": prob.pinnrep.adaloss.init_state(
+                      1, 2, prob.pinnrep.dtype)}
+        full, _ = prob.loss(prob.init_params, lstate)
+        np.testing.assert_allclose(float(jnp.sum(r * r)), float(full),
+                                   rtol=1e-12)
+
     def test_quadrature_norm_squared_equals_full_loss(self):
         from neuralpde_tpu import QuadratureTraining
 

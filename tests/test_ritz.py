@@ -1,0 +1,82 @@
+"""Deep Ritz (variational energy-minimization) solver — beyond reference.
+
+Anchored by: the energy minimizer is the weak solution, so the trained
+field must match the same analytic solutions the strong-form tests use.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from neuralpde_tpu import (
+    DeepRitz, DepVar, Differential, Domain, Eq, GridTraining, Interval,
+    PDESystem, StochasticTraining, Sym, Transformed, discretize_ritz, mlp,
+    solve, symbols,
+)
+from neuralpde_tpu.symbolic.expr import sin
+
+
+def test_1d_poisson_energy_matches_analytic():
+    # -u'' = pi^2 sin(pi x), u(0)=u(1)=0  ->  u = sin(pi x)
+    # E[u] = int 1/2 u'^2 - pi^2 sin(pi x) u
+    x = Sym("x")
+    u = DepVar("u")
+    Dx = Differential(x)
+    energy = 0.5 * Dx(u(x)) ** 2 - (np.pi**2) * sin(np.pi * x) * u(x)
+    bcs = [Eq(u(0.0), 0.0), Eq(u(1.0), 0.0)]
+    sys = PDESystem([], bcs, [Domain(x, Interval(0, 1))], [x], [u(x)])
+    alg = DeepRitz(mlp([1, 24, 24, 1]), energy,
+                   strategy=StochasticTraining(2048), bc_weight=500.0,
+                   dtype=jnp.float32, seed=0)
+    prob = discretize_ritz(sys, alg)
+    res = solve(prob, optax.adam(3e-3), maxiters=3000)
+    xs = np.linspace(0, 1, 101)
+    up = np.asarray(prob.pinnrep.phi(jnp.asarray(xs, jnp.float32)[None, :],
+                                     res.params["depvar"])).ravel()
+    rel = np.linalg.norm(up - np.sin(np.pi * xs)) / np.linalg.norm(
+        np.sin(np.pi * xs))
+    assert rel < 5e-2, rel
+    # the converged energy approximates the true minimum -pi^2/4... scaled:
+    # E* = -1/4 * pi^2 * int sin^2 = -pi^2/4
+    assert abs(float(res.aux["energy"]) - (-np.pi**2 / 4)) < 0.1
+
+
+def test_2d_poisson_energy_hard_constrained_grid():
+    # -Δu = 2 pi^2 sin sin with EXACT BCs: pure energy minimization, no
+    # penalty terms at all
+    x, y = symbols("x y")
+    u = DepVar("u")
+    Dx, Dy = Differential(x), Differential(y)
+    f = 2 * np.pi**2 * sin(np.pi * x) * sin(np.pi * y)
+    energy = (0.5 * (Dx(u(x, y)) ** 2 + Dy(u(x, y)) ** 2)
+              - f * u(x, y))
+    sys = PDESystem([], [], [Domain(x, Interval(0, 1)),
+                             Domain(y, Interval(0, 1))], [x, y], [u(x, y)])
+    hard = lambda c, o: c[0:1] * (1 - c[0:1]) * c[1:2] * (1 - c[1:2]) * o
+    alg = DeepRitz(Transformed(mlp([2, 32, 32, 1]), hard), energy,
+                   strategy=GridTraining(1 / 48), dtype=jnp.float32, seed=1)
+    prob = discretize_ritz(sys, alg)
+    res = solve(prob, optax.adam(3e-3), maxiters=3000)
+    xs = np.linspace(0, 1, 65)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    cord = jnp.asarray(np.stack([X.ravel(), Y.ravel()]), jnp.float32)
+    up = np.asarray(prob.pinnrep.phi(cord, res.params["depvar"])).ravel()
+    ua = (np.sin(np.pi * X) * np.sin(np.pi * Y)).ravel()
+    rel = np.linalg.norm(up - ua) / np.linalg.norm(ua)
+    assert rel < 5e-2, rel
+
+
+def test_errors():
+    x = Sym("x")
+    u = DepVar("u")
+    with pytest.raises(TypeError, match="symbolic Expr"):
+        DeepRitz(mlp([1, 8, 1]), energy="not an expr")
+    energy = u(x) ** 2
+    sys = PDESystem([], [], [Domain(x, Interval(0, 1))], [x], [u(x)])
+    from neuralpde_tpu import QuadratureTraining
+
+    alg = DeepRitz(mlp([1, 8, 1]), energy, strategy=QuadratureTraining())
+    with pytest.raises(TypeError, match="GridTraining or StochasticTraining"):
+        discretize_ritz(sys, alg)
