@@ -15,7 +15,7 @@ from neuralpde_tpu import (
     PDESystem, StochasticTraining, Sym, Transformed, discretize_ritz, mlp,
     solve, symbols,
 )
-from neuralpde_tpu.symbolic.expr import sin
+from neuralpde_tpu.symbolic.expr import cos, sin
 
 
 def test_1d_poisson_energy_matches_analytic():
@@ -66,6 +66,39 @@ def test_2d_poisson_energy_hard_constrained_grid():
     ua = (np.sin(np.pi * X) * np.sin(np.pi * Y)).ravel()
     rel = np.linalg.norm(up - ua) / np.linalg.norm(ua)
     assert rel < 5e-2, rel
+
+
+def test_neumann_natural_bc_needs_no_bc_equation():
+    """The variational form's signature feature: homogeneous Neumann BCs
+    are NATURAL — the energy minimizer satisfies u'(0)=u'(1)=0 without any
+    boundary equation.  -u'' + u = (1+pi^2) cos(pi x) has the unique
+    solution u = cos(pi x) with u'(0)=u'(1)=0; energy
+    E = int 1/2 u'^2 + 1/2 u^2 - f u needs NO BCs at all (the +u^2 term
+    fixes the gauge)."""
+    x = Sym("x")
+    u = DepVar("u")
+    Dx = Differential(x)
+    f = (1 + np.pi**2) * cos(np.pi * x)
+    energy = 0.5 * Dx(u(x)) ** 2 + 0.5 * u(x) ** 2 - f * u(x)
+    sys = PDESystem([], [], [Domain(x, Interval(0, 1))], [x], [u(x)])
+    alg = DeepRitz(mlp([1, 24, 24, 1]), energy,
+                   strategy=GridTraining(1 / 128), dtype=jnp.float32, seed=2)
+    prob = discretize_ritz(sys, alg)
+    res = solve(prob, optax.adam(3e-3), maxiters=3000)
+    xs = np.linspace(0, 1, 101)
+    up = np.asarray(prob.pinnrep.phi(jnp.asarray(xs, jnp.float32)[None, :],
+                                     res.params["depvar"])).ravel()
+    ua = np.cos(np.pi * xs)
+    rel = np.linalg.norm(up - ua) / np.linalg.norm(ua)
+    assert rel < 5e-2, rel
+    # the natural BC emerged: du/dx ~ 0 at both ends
+    h = 1e-3
+    for t in (0.0, 1.0):
+        pts = jnp.asarray([[t, t + h] if t == 0.0 else [t - h, t]],
+                          jnp.float32)
+        v = np.asarray(prob.pinnrep.phi(pts, res.params["depvar"])).ravel()
+        slope = (v[1] - v[0]) / h
+        assert abs(slope) < 0.15, (t, slope)
 
 
 def test_errors():
