@@ -23,8 +23,6 @@ estimate; `StochasticTraining` resamples uniform points each step
 
 from __future__ import annotations
 
-from typing import Any
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -72,13 +70,10 @@ def discretize_ritz(pde_system: PDESystem, alg: DeepRitz) -> TrainingProblem:
     bc_system = PDESystem([], pde_system.bcs, pde_system.domains,
                           pde_system.ivs, pde_system.dvs, ps=pde_system.ps,
                           defaults=pde_system.defaults)
-    from ..adaptive import NonAdaptiveLoss
-
     n_bc = len(pde_system.bcs)
-    disc = PhysicsInformedNN(
-        alg.chain, alg.strategy,
-        adaptive_loss=NonAdaptiveLoss(bc_loss_weights=[alg.bc_weight] * n_bc),
-        **alg.kwargs)
+    # unit adaptive weights: the Ritz loss owns the bc_weight scaling itself
+    # (a weighted NonAdaptiveLoss here would double-count if ever composed)
+    disc = PhysicsInformedNN(alg.chain, alg.strategy, **alg.kwargs)
     pinnrep = symbolic_discretize(bc_system, disc)
     bc_loss_fns = pinnrep.loss_functions.bc_loss_functions
     dtype = pinnrep.dtype
