@@ -143,17 +143,65 @@ class PDELogTargetDensity:
         self.dim = self.n_nn + self.extraparams
 
         strategy = pinnrep.strategy
-        if not isinstance(strategy, GridTraining):
-            raise ValueError(
-                "BayesianPINN currently supports GridTraining (the reference "
-                "Bayesian loglikelihood path is grid/data-point based)")
         lf = pinnrep.loss_functions
-        self.pde_residuals = lf.datafree_pde_loss_functions
-        self.bc_residuals = lf.datafree_bc_loss_functions
-        self.pde_sets = generate_training_sets(
-            pinnrep.domains, strategy.dx, pinnrep.pde_args, dtype)
-        self.bc_sets = generate_training_sets(
-            pinnrep.domains, strategy.dx, pinnrep.bc_args, dtype)
+        # pointwise residuals are always kept for the dataset-point terms
+        self.data_residuals = lf.datafree_pde_loss_functions
+        if isinstance(strategy, GridTraining):
+            self.pde_residuals = lf.datafree_pde_loss_functions
+            self.bc_residuals = lf.datafree_bc_loss_functions
+            self.pde_sets = generate_training_sets(
+                pinnrep.domains, strategy.dx, pinnrep.pde_args, dtype)
+            self.bc_sets = generate_training_sets(
+                pinnrep.domains, strategy.dx, pinnrep.bc_args, dtype)
+        else:
+            from ..compile.separable import (
+                SeparableTraining, build_separable_residual)
+
+            if not (isinstance(strategy, SeparableTraining)
+                    and strategy.dx is not None):
+                raise ValueError(
+                    "BayesianPINN supports GridTraining or static-grid "
+                    "SeparableTraining(dx=...) (the Bayesian loglikelihood "
+                    "needs a deterministic point set)")
+            # factorized physics loglikelihood: grid residuals flattened —
+            # bit-parity with the pointwise evaluation on the same tensor
+            # grid (tests/test_separable.py), at N·d axis-eval cost
+            from ..compile.lower import LoweringContext
+            from ..symbolic.system import infimum, supremum
+
+            phis_ = pinnrep.phi if self.multioutput else [pinnrep.phi]
+            nets = {n: ph.module
+                    for n, ph in zip(pinnrep.depvars, phis_)}
+            ctx = LoweringContext(
+                depvars=pinnrep.depvars, indvars=pinnrep.indvars,
+                dict_depvar_input=pinnrep.dict_depvar_input,
+                phis=[ph.apply for ph in phis_],
+                multioutput=self.multioutput,
+                derivative=pinnrep.derivative, eq_params=pinnrep.eq_params,
+                param_estim=pinnrep.param_estim)
+            dxs = (list(strategy.dx)
+                   if isinstance(strategy.dx, (list, tuple))
+                   else [strategy.dx] * len(pinnrep.domains))
+            nodes_of = {d.variables.name: julia_range(
+                float(infimum(d.domain)), float(supremum(d.domain)), h)
+                for d, h in zip(pinnrep.domains, dxs)}
+
+            def sep_adapter(eq):
+                residual, axes = build_separable_residual(
+                    eq, ctx, nets, dtype, pinnrep.default_p)
+                nodes = [jnp.asarray(nodes_of[a.name], dtype) for a in axes]
+
+                def res(_set, theta):
+                    return jnp.ravel(residual(nodes, theta))
+
+                return res, nodes
+
+            pde_pairs = [sep_adapter(eq) for eq in pinnrep.eqs]
+            bc_pairs = [sep_adapter(bc) for bc in pinnrep.bcs]
+            self.pde_residuals = [r for r, _ in pde_pairs]
+            self.bc_residuals = [r for r, _ in bc_pairs]
+            self.pde_sets = [s for _, s in pde_pairs]
+            self.bc_sets = [s for _, s in bc_pairs]
 
         # dataset-point physics sets (reference: src/training_strategies.jl:18-47)
         self.data_pde_sets = None
@@ -204,7 +252,8 @@ class PDELogTargetDensity:
             total = total + mvnormal_diag_logpdf(
                 r, 0.0, jnp.asarray(self.bcstd[j]))
         if self.data_pde_sets is not None:
-            for i, (res, s) in enumerate(zip(self.pde_residuals,
+            # dataset points are arbitrary coordinates -> always pointwise
+            for i, (res, s) in enumerate(zip(self.data_residuals,
                                              self.data_pde_sets)):
                 if s is None:
                     continue

@@ -187,3 +187,66 @@ def test_bpinn_pde_lorenz_inverse():
         estim_collocate=True)
     est = float(sol.estimated_de_params[0].mean)
     assert abs(est - sigma_t) < 0.3 * sigma_t  # reference tolerance
+
+
+def test_bpinn_separable_loglik_matches_grid():
+    """SeparableTraining physics loglikelihood == GridTraining loglikelihood
+    on the same tensor grid (factorized evaluation, bit-parity), and the
+    sampler runs end-to-end on the separable path."""
+    from neuralpde_tpu import SeparableTraining, separable_mlp
+    from neuralpde_tpu.bayesian.pde import PDELogTargetDensity
+
+    x, y = symbols("x y")
+    u = DepVar("u")
+    Dxx = Differential(x) ** 2
+    Dyy = Differential(y) ** 2
+    from neuralpde_tpu import sin as nsin
+    eq = Eq(Dxx(u(x, y)) + Dyy(u(x, y)),
+            -nsin(np.pi * x) * nsin(np.pi * y))
+    bcs = [Eq(u(0.0, y), 0.0), Eq(u(1.0, y), 0.0)]
+    domains = [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))]
+    system = PDESystem(eq, bcs, domains, [x, y], [u(x, y)])
+
+    net = separable_mlp(2, (8, 8), 6)
+
+    def make_ld(strategy):
+        disc = BayesianPINN(net, strategy)
+        from neuralpde_tpu import symbolic_discretize
+        pinnrep = symbolic_discretize(system, disc)
+        return PDELogTargetDensity(
+            pinnrep, dataset=None, priors_nn=Normal(0.0, 3.0),
+            param_priors=[], allstd=([0.05], [0.01, 0.01], []),
+            phynewstd=[0.05])
+
+    ld_grid = make_ld(GridTraining(1 / 8))
+    ld_sep = make_ld(SeparableTraining(dx=1 / 8))
+    theta = ld_grid.init_flat_nn
+    lg = float(ld_grid.full_loglikelihood(ld_grid.setparameters(theta)))
+    ls = float(ld_sep.full_loglikelihood(ld_sep.setparameters(theta)))
+    np.testing.assert_allclose(ls, lg, rtol=1e-10)
+
+    # the sampler runs end-to-end with the factorized likelihood
+    disc = BayesianPINN(net, SeparableTraining(dx=1 / 8))
+    sol = ahmc_bayesian_pinn_pde(
+        system, disc, draw_samples=60, bcstd=[0.05, 0.05], phystd=[0.1],
+        priorsNNw=(0.0, 3.0), saveats=[0.25, 0.25], n_leapfrog=10)
+    arr = np.asarray([p.mean for p in np.ravel(sol.ensemblesol[0])])
+    assert np.all(np.isfinite(arr))
+
+
+def test_bpinn_non_deterministic_strategy_rejected():
+    from neuralpde_tpu import StochasticTraining, symbolic_discretize
+    from neuralpde_tpu.bayesian.pde import PDELogTargetDensity
+
+    t = symbols("t")
+    u = DepVar("u")
+    eq = Eq(Differential(t)(u(t)), -u(t))
+    system = PDESystem(eq, [Eq(u(0.0), 1.0)],
+                       [Domain(t, Interval(0, 1))], [t], [u(t)])
+    disc = BayesianPINN(mlp([1, 8, 1]), StochasticTraining(32))
+    pinnrep = symbolic_discretize(system, disc)
+    with pytest.raises(ValueError, match="deterministic"):
+        PDELogTargetDensity(pinnrep, dataset=None,
+                            priors_nn=Normal(0.0, 3.0), param_priors=[],
+                            allstd=([0.05], [0.01], []),
+                            phynewstd=[0.05])
