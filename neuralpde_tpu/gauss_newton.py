@@ -193,6 +193,14 @@ def lm_least_squares(r_fn: Callable, init_params, *, maxiters: int = 50,
     Stops at ``maxiters`` outer iterations or ``loss < abstol``.
     """
     v0, unravel = ravel_pytree(init_params)
+    if v0.dtype == jnp.float32:
+        import warnings
+
+        warnings.warn(
+            "Gauss-Newton CG on the normal equations amplifies float32 "
+            "rounding and typically stalls ~2e-3 (measured, PERF.md); enable "
+            "jax_enable_x64 and build the problem with dtype=jnp.float64",
+            stacklevel=2)
 
     def r_flat(v):
         return r_fn(unravel(v))

@@ -93,6 +93,11 @@ class TestResidualVector:
         np.testing.assert_allclose(float(jnp.sum(r * r)), float(full),
                                    rtol=1e-12)
 
+    def test_f32_warns(self):
+        prob = _poisson_1d(GridTraining(0.2), dtype=jnp.float32)
+        with pytest.warns(UserWarning, match="float32"):
+            solve_gauss_newton(prob, maxiters=1, cg_iters=2)
+
     def test_quadrature_gn_trains(self):
         from neuralpde_tpu import QuadratureTraining
 

@@ -61,3 +61,39 @@ def test_2d_pde_on_hardware():
     pred = np.asarray(disc.phi(cord, res.u["depvar"])[0]).reshape(11, 11)
     want = np.sin(np.pi * X) * np.sin(np.pi * Y) / (2 * np.pi**2)
     assert np.max(np.abs(pred - want)) < 0.05
+
+
+@needs_hw
+def test_separable_on_hardware():
+    """SPINN hardware smoke: hard-constrained 2D Poisson on a 256^2 tensor
+    grid trains to rel L2 < 1e-2 in 500 iters on the accelerator."""
+    import numpy as np
+    import optax
+
+    from neuralpde_tpu import (
+        DepVar, Differential, Domain, Eq, Interval, PDESystem,
+        PhysicsInformedNN, SeparableNet, SeparableTraining, Transformed,
+        discretize, mlp, sin, solve, symbols,
+    )
+
+    x, y = symbols("x y")
+    u = DepVar("u")
+    eq = Eq((Differential(x) ** 2)(u(x, y)) + (Differential(y) ** 2)(u(x, y)),
+            -sin(np.pi * x) * sin(np.pi * y))
+    system = PDESystem(eq, [],
+                       [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))],
+                       [x, y], [u(x, y)])
+    hard = lambda c, o: c * (1 - c) * o
+    net = SeparableNet([Transformed(mlp([1, 32, 32, 32]), hard)
+                        for _ in range(2)])
+    disc = PhysicsInformedNN(net, SeparableTraining(dx=1 / 255),
+                             dtype=jnp.float32)
+    prob = discretize(system, disc)
+    res = solve(prob, optax.adam(2e-3), maxiters=500, inner_steps=100)
+    xs = np.linspace(0, 1, 51)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    nodes = jnp.asarray(xs, jnp.float32)
+    up = np.asarray(net.grid(res.params["depvar"], [nodes, nodes]))
+    ua = np.sin(np.pi * X) * np.sin(np.pi * Y) / (2 * np.pi**2)
+    rel = np.linalg.norm(up - ua) / np.linalg.norm(ua)
+    assert rel < 1e-2, rel
