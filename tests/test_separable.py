@@ -222,6 +222,37 @@ class TestEndToEnd:
         res = solve(prob, optax.adam(2e-3), maxiters=400)
         assert float(res.objective) < 0.3 * l0
 
+    def test_adaptive_loss_composes(self):
+        from neuralpde_tpu import MiniMaxAdaptiveLoss
+
+        x, y, u, eq = poisson_eq()
+        bcs = [Eq(u(0.0, y), 0.0), Eq(u(1.0, y), 0.0)]
+        domains = [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))]
+        sys = PDESystem(eq, bcs, domains, [x, y], [u(x, y)])
+        disc = PhysicsInformedNN(
+            separable_mlp(2, (12,), 8), SeparableTraining(dx=1 / 12),
+            adaptive_loss=MiniMaxAdaptiveLoss(reweight_every=5),
+            dtype=jnp.float32)
+        prob = discretize(sys, disc)
+        res = solve(prob, optax.adam(2e-3), maxiters=60)
+        assert np.isfinite(float(res.objective))
+        w = np.asarray(res.aux["adaptive_state"]["bc_weights"])
+        assert not np.allclose(w, 1.0)    # minimax ascent actually moved
+
+    def test_lbfgs_composes(self):
+        x, y, u, eq = poisson_eq()
+        domains = [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))]
+        sys = PDESystem(eq, [], domains, [x, y], [u(x, y)])
+        hard = lambda c, o: c * (1 - c) * o
+        net = SeparableNet([Transformed(mlp([1, 16, 12]), hard)
+                            for _ in range(2)])
+        disc = PhysicsInformedNN(net, SeparableTraining(dx=1 / 24),
+                                 dtype=jnp.float32)
+        prob = discretize(sys, disc)
+        r1 = solve(prob, optax.adam(2e-3), maxiters=200)
+        r2 = solve(prob.with_params(r1.u), optax.lbfgs(), maxiters=200)
+        assert float(r2.objective) < float(r1.objective)
+
     def test_multioutput_system_parity(self):
         x, y = symbols("x y")
         u, v = DepVar("u"), DepVar("v")
