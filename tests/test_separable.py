@@ -404,6 +404,44 @@ class TestMesh:
         assert "all-reduce" in hlo, "expected a psum from the sharded grid"
 
 
+class TestMeshCausal:
+    def test_causal_weights_survive_sharding(self):
+        """Causal cumsum along grid axis 0 while that axis is sharded:
+        parity vs single device (GSPMD must not alter the prefix sums)."""
+        from neuralpde_tpu.parallel.mesh import (
+            make_mesh, replicate_params, use_mesh)
+
+        x, t = symbols("x t")
+        u = DepVar("u")
+        eq = Eq(Differential(t)(u(t, x)),
+                0.1 * (Differential(x) ** 2)(u(t, x)))   # t is grid axis 0
+        bcs = [Eq(u(0.0, x), sin(np.pi * x))]
+        domains = [Domain(x, Interval(0, 1)), Domain(t, Interval(0, 1))]
+        sys = PDESystem(eq, bcs, domains, [x, t], [u(t, x)])
+        net = separable_mlp(2, (12,), 8)
+
+        def build():
+            return discretize(sys, PhysicsInformedNN(
+                net, SeparableTraining(dx=1 / 63, causal="t",
+                                       causal_eps=5.0),
+                dtype=jnp.float32))
+
+        prob = build()
+        lstate = {"key": jax.random.key(0),
+                  "adaptive": prob.pinnrep.adaloss.init_state(
+                      1, 1, prob.pinnrep.dtype)}
+        cpu0 = jax.devices("cpu")[0]
+        theta = jax.device_put(prob.init_params, cpu0)
+        loss_single, _ = jax.jit(prob.loss, device=cpu0)(theta, lstate)
+        mesh = make_mesh(8)
+        with use_mesh(mesh):
+            prob2 = build()
+            loss_sharded, _ = jax.jit(prob2.loss)(
+                replicate_params(theta, mesh), lstate)
+        np.testing.assert_allclose(float(loss_single), float(loss_sharded),
+                                   rtol=1e-6)
+
+
 class TestErrors:
     def test_dense_chain_rejected(self):
         x, y, u, eq = poisson_eq()
