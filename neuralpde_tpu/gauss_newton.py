@@ -181,7 +181,8 @@ def lm_least_squares(r_fn: Callable, init_params, *, maxiters: int = 50,
                      damping: float = 1e-3, cg_iters: int = 100,
                      damping_factor: float = 3.0, min_damping: float = 1e-12,
                      max_damping: float = 1e8, abstol: float = 0.0,
-                     verbose: bool = False, callback=None) -> SolveResult:
+                     precondition: bool = False, verbose: bool = False,
+                     callback=None) -> SolveResult:
     """Levenberg-Marquardt on ``loss(θ) = ||r_fn(θ)||²`` for any residual
     pytree-function (bring your own residual — e.g. ODE physics + data
     stacks for inverse problems).
@@ -218,7 +219,21 @@ def lm_least_squares(r_fn: Callable, init_params, *, maxiters: int = 50,
             Jp = jax.jvp(r_flat, (v,), (p,))[1]
             return vjp(Jp)[0] + lam * p
 
-        delta, _ = jax.scipy.sparse.linalg.cg(matvec, g, maxiter=cg_iters)
+        M = None
+        if precondition:
+            # Jacobi preconditioner from a Hutchinson estimate of
+            # diag(JᵀJ): E[(JᵀJ z) ⊙ z] over Rademacher z (8 probes,
+            # fixed key — determinism keeps LM accept/reject stable)
+            zs = jax.random.rademacher(
+                jax.random.key(0), (8, v.shape[0]), v.dtype)
+            diag = jnp.mean(jax.vmap(
+                lambda z: (vjp(jax.jvp(r_flat, (v,), (z,))[1])[0]) * z)(zs),
+                axis=0)
+            inv = 1.0 / (jnp.abs(diag) + lam)
+            M = lambda p: inv * p
+
+        delta, _ = jax.scipy.sparse.linalg.cg(matvec, g, maxiter=cg_iters,
+                                              M=M)
         v_new = v - delta
         return v_new, loss_of(v_new)
 

@@ -93,6 +93,12 @@ class TestResidualVector:
         np.testing.assert_allclose(float(jnp.sum(r * r)), float(full),
                                    rtol=1e-12)
 
+    def test_preconditioned_cg_converges(self):
+        prob = _poisson_1d(GridTraining(0.05))
+        res = solve_gauss_newton(prob, maxiters=40, cg_iters=50,
+                                 precondition=True)
+        assert res.objective < 1e-4, res.objective
+
     def test_f32_warns(self):
         prob = _poisson_1d(GridTraining(0.2), dtype=jnp.float32)
         with pytest.warns(UserWarning, match="float32"):
