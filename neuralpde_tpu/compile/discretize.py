@@ -163,6 +163,8 @@ class PINNRepresentation:
     bc_args: list = field(default_factory=list)
     dtype: Any = None
     loss_accum_dtype: Any = None
+    remat: bool = False
+    gradient_enhanced: float | None = None
     log_options: LogOptions = field(default_factory=LogOptions)
     integral: Any = None
     symbolic_pde_loss_functions: list = field(default_factory=list)
@@ -286,6 +288,8 @@ def symbolic_discretize(pde_system: PDESystem,
         bc_integration_vars=[get_integration_variables(bc) for bc in bcs],
         pde_args=pde_args, bc_args=bc_args, dtype=dtype,
         loss_accum_dtype=discretization.loss_accum_dtype,
+        remat=discretization.remat,
+        gradient_enhanced=discretization.gradient_enhanced,
         log_options=discretization.log_options,
     )
 

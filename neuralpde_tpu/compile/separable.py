@@ -30,7 +30,7 @@ from ..parallel.mesh import shard_axis_nodes
 from ..strategies import TrainingStrategy, _msq, julia_range
 from ..symbolic.expr import (
     PRIMITIVES, Call, DepVarCall, Deriv, Eq, Expr, IntegralExpr, Num, Param,
-    Sym, expand_derivatives,
+    Sym, _simplify, expand_derivatives, symbolic_diff,
 )
 from ..symbolic.system import infimum, supremum
 from .lower import LoweringContext, get_argument
@@ -171,16 +171,10 @@ def _gev(expr: Expr, env: dict, theta, p, gctx: _GridContext):
     raise TypeError(f"cannot lower {type(expr).__name__}")
 
 
-def build_separable_residual(eq: Eq, ctx: LoweringContext, nets: dict, dtype,
-                             default_p=None):
-    """Lower one equation to ``residual(nodes_list, theta) -> grid array``.
-
-    Returns ``(residual, axes)`` where ``axes`` is the ordered list of grid
-    Syms (get_argument order); ``nodes_list`` supplies the per-axis 1-D node
-    arrays in that order and the result has shape ``(N_1, …, N_k)``.
-    """
-    expr = Call("-", (expand_derivatives(eq.lhs), expand_derivatives(eq.rhs)))
-    axes = [a for a in get_argument(eq, ctx.depvars) if isinstance(a, Sym)]
+def _expr_residual(expr: Expr, axes, ctx: LoweringContext, nets: dict, dtype,
+                   default_p=None):
+    """Lower one (already-expanded) Expr to ``fn(nodes_list, theta) -> grid``
+    over the given ordered ``axes``."""
     p_arr = None if default_p is None else jnp.asarray(default_p)
 
     def residual(nodes_list, theta):
@@ -192,7 +186,20 @@ def build_separable_residual(eq: Eq, ctx: LoweringContext, nets: dict, dtype,
         grid_shape = tuple(n.shape[0] for n in gctx.nodes)
         return jnp.broadcast_to(jnp.asarray(out), grid_shape)
 
-    return residual, axes
+    return residual
+
+
+def build_separable_residual(eq: Eq, ctx: LoweringContext, nets: dict, dtype,
+                             default_p=None):
+    """Lower one equation to ``residual(nodes_list, theta) -> grid array``.
+
+    Returns ``(residual, axes)`` where ``axes`` is the ordered list of grid
+    Syms (get_argument order); ``nodes_list`` supplies the per-axis 1-D node
+    arrays in that order and the result has shape ``(N_1, …, N_k)``.
+    """
+    expr = Call("-", (expand_derivatives(eq.lhs), expand_derivatives(eq.rhs)))
+    axes = [a for a in get_argument(eq, ctx.depvars) if isinstance(a, Sym)]
+    return _expr_residual(expr, axes, ctx, nets, dtype, default_p), axes
 
 
 class SeparableTraining(TrainingStrategy):
@@ -208,13 +215,20 @@ class SeparableTraining(TrainingStrategy):
       grid contains that axis to causality-respecting weighting (Wang,
       Sankaran & Perdikaris 2022, as in `CausalTraining`): every time NODE
       is a slab — its mean-square residual over the other axes L_i gets
-      weight ``exp(-causal_eps·Σ_{j<i} L_j)`` (gradient-blocked), so late
-      times only count once early times are resolved.  ``causal_eps=0``
-      reduces exactly to the unweighted loss.
+      weight ``exp(-causal_eps·Δt·Σ_{j<i} L_j)`` (gradient-blocked), so
+      late times only count once early times are resolved.  ``causal_eps=0``
+      reduces exactly to the unweighted loss.  NOTE: the Δt factor makes
+      eps node-count-independent (it discretizes ``exp(-eps·∫₀ᵗ L dt)``);
+      `CausalTraining` uses the paper's raw ``Σ L_j`` exponent, so the
+      same eps value means different things — here ``eps =
+      causal_training_eps / Δt`` for matched slabbing.
 
     Builds its own factorized losses directly from the symbolic equations;
     the pointwise datafree closures remain available on the representation
-    for parity checks.
+    for parity checks.  `PhysicsInformedNN(gradient_enhanced=w)` lowers
+    the gPINN rows symbolically onto the factorized grid (the residual
+    must be symbolically differentiable) and ``remat=True`` checkpoints
+    each grid residual.
     """
 
     def __init__(self, dx=None, *, points=None, resample: bool = False,
@@ -282,6 +296,9 @@ class SeparableTraining(TrainingStrategy):
             w = jax.lax.stop_gradient(jnp.exp(-eps * csum))
             return jnp.mean(w * L), w
 
+        ge = getattr(pinnrep, "gradient_enhanced", None)
+        remat = getattr(pinnrep, "remat", False)
+
         def make_loss(eq, eq_tag, allow_causal):
             residual, axes = build_separable_residual(
                 eq, ctx, nets, dtype, pinnrep.default_p)
@@ -289,11 +306,46 @@ class SeparableTraining(TrainingStrategy):
                 if a.name not in spans:
                     raise ValueError(
                         f"equation variable {a.name!r} has no domain")
-            t_pos = None
+            stacked = False
+            if allow_causal and ge:
+                # gPINN on the factorized path: the residual-gradient rows
+                # ∂f/∂x_a come from SYMBOLIC differentiation of the expanded
+                # residual expression (the grid evaluator then factorizes
+                # them like any other term), stacked as leading rows so the
+                # reduction matches the dense ge_wrap row-concatenation
+                # semantics exactly (compile/discretize.py ge_wrap).
+                expr = Call("-", (expand_derivatives(eq.lhs),
+                                  expand_derivatives(eq.rhs)))
+                sqrt_w = float(ge) ** 0.5
+                try:
+                    grad_res = [
+                        _expr_residual(_simplify(symbolic_diff(expr, a)),
+                                       axes, ctx, nets, dtype,
+                                       pinnrep.default_p)
+                        for a in axes]
+                except ValueError as e:
+                    raise ValueError(
+                        "gradient_enhanced with SeparableTraining needs a "
+                        "symbolically differentiable residual; "
+                        f"lowering d/dx of {eq!r} failed: {e}") from e
+                base = residual
+
+                def residual(nodes, theta, base=base, grad_res=grad_res,
+                             sqrt_w=sqrt_w):
+                    rows = [base(nodes, theta)] + [
+                        sqrt_w * g(nodes, theta) for g in grad_res]
+                    return jnp.stack(rows)
+
+                stacked = True
+            if remat:
+                residual = jax.checkpoint(residual)
+            t_axis = None   # index into the grid-axis list (node sorting)
+            t_pos = None    # index into the residual array dims (reduction)
             if allow_causal and self.causal is not None:
                 names = [a.name for a in axes]
                 if self.causal in names:
-                    t_pos = names.index(self.causal)
+                    t_axis = names.index(self.causal)
+                    t_pos = t_axis + (1 if stacked else 0)
 
             if static_nodes is not None:
                 nodes = [jnp.asarray(static_nodes[a.name], dtype) for a in axes]
@@ -308,13 +360,13 @@ class SeparableTraining(TrainingStrategy):
                 bounds = [spans[a.name] for a in axes]
 
                 def make_nodes(key, bounds=bounds, eq_tag=eq_tag,
-                               t_pos=t_pos):
+                               t_axis=t_axis):
                     ns = []
                     for i, (lb, ub) in enumerate(bounds):
                         k = jax.random.fold_in(jax.random.fold_in(key, eq_tag), i)
                         draw = lb + (ub - lb) * jax.random.uniform(
                             k, (self.points,), dtype)
-                        if i == t_pos:
+                        if i == t_axis:
                             draw = jnp.sort(draw)   # causal cumsum needs order
                         ns.append(draw)
                     if ns:

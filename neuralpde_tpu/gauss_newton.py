@@ -74,6 +74,17 @@ def build_residual_vector(pinnrep) -> Callable:
         if strategy.dx is None:
             raise ValueError("Gauss-Newton needs a deterministic objective: "
                              "use SeparableTraining(dx=...), not resample=True")
+        if strategy.causal is not None:
+            raise ValueError(
+                "Gauss-Newton on SeparableTraining(causal=...) would optimize "
+                "the UNWEIGHTED least-squares objective, not the causally "
+                "weighted one that training uses — build the problem with "
+                "causal=None for GN")
+        if getattr(pinnrep, "gradient_enhanced", None):
+            raise ValueError(
+                "Gauss-Newton with SeparableTraining does not lower the gPINN "
+                "residual-gradient rows; build with gradient_enhanced=None "
+                "(GridTraining supports gPINN rows in GN)")
         from .strategies import julia_range
         from .symbolic.system import infimum, supremum
 

@@ -53,6 +53,11 @@ class DeepRitz:
                  bc_weight: float = 500.0, **kwargs):
         if not isinstance(energy, Expr):
             raise TypeError("energy must be a symbolic Expr")
+        if kwargs.get("adaptive_loss") is not None:
+            raise ValueError(
+                "DeepRitz does not support adaptive_loss: the Ritz objective "
+                "owns its weighting (the energy term is unweighted and every "
+                "boundary loss gets the fixed bc_weight penalty)")
         self.chain = chain
         self.energy = energy
         self.strategy = strategy or StochasticTraining(4096)

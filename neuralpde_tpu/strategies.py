@@ -495,6 +495,14 @@ class CausalTraining(TrainingStrategy):
 
     The paper's convergence diagnostic — train until the LAST slab's weight
     w_M ≈ 1 — is exposed as ``causal_weights(theta, key)``.
+
+    NOTE on ``causal_eps`` semantics: this class uses the paper's raw form
+    ``exp(-eps·Σ_{j<i} L_j)``, so the exponent scale depends on ``n_slabs``
+    (a finer slabbing needs a smaller eps).  `SeparableTraining(causal=...)`
+    instead discretizes the continuous form ``exp(-eps·∫₀ᵗ L dt)`` by
+    scaling the sum with the node spacing Δt, making its eps
+    node-count-independent; for matched slabbing,
+    ``eps_separable = eps_here / Δt``.
     """
 
     def __init__(self, points: int, time_var, bcs_points: int | None = None,
@@ -522,7 +530,8 @@ class CausalTraining(TrainingStrategy):
                                                        jnp.asarray(1e-30, dtype))
             slab = jnp.repeat(jnp.arange(M, dtype=dtype), per)
             t = lb[t_idx] + (slab + u) * (ub[t_idx] - lb[t_idx]) / M
-            sq = residual(shard_batch(pts.at[t_idx].set(t)), theta) ** 2
+            sq = residual(shard_batch(pts.at[t_idx].set(t.astype(pts.dtype))),
+                          theta) ** 2
             if acc is not None:
                 sq = sq.astype(acc)
             return jnp.mean(sq.reshape(-1, M, per), axis=(0, 2))

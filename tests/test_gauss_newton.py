@@ -129,6 +129,34 @@ class TestResidualVector:
         with pytest.raises(ValueError, match="deterministic"):
             build_residual_vector(prob.pinnrep)
 
+    def test_causal_separable_rejected(self):
+        # GN would optimize the UNWEIGHTED objective, silently breaking the
+        # ||r||² == full_loss invariant (advisor r2 finding)
+        x, t = symbols("x t")
+        u = DepVar("u")
+        eq = Eq(Differential(t)(u(x, t)), (Differential(x) ** 2)(u(x, t)))
+        sys = PDESystem(eq, [],
+                        [Domain(x, Interval(0, 1)), Domain(t, Interval(0, 1))],
+                        [x, t], [u(x, t)])
+        prob = discretize(sys, PhysicsInformedNN(
+            separable_mlp(2, (8,), 4),
+            SeparableTraining(dx=1 / 8, causal="t")))
+        with pytest.raises(ValueError, match="causal"):
+            build_residual_vector(prob.pinnrep)
+
+    def test_gradient_enhanced_separable_rejected(self):
+        x, y = symbols("x y")
+        u = DepVar("u")
+        eq = Eq((Differential(x) ** 2)(u(x, y)), u(x, y))
+        sys = PDESystem(eq, [],
+                        [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))],
+                        [x, y], [u(x, y)])
+        prob = discretize(sys, PhysicsInformedNN(
+            separable_mlp(2, (8,), 4), SeparableTraining(dx=1 / 8),
+            gradient_enhanced=0.1))
+        with pytest.raises(ValueError, match="gPINN"):
+            build_residual_vector(prob.pinnrep)
+
 
 class TestSolve:
     def test_dense_1d_poisson_high_accuracy(self):

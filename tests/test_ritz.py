@@ -113,3 +113,8 @@ def test_errors():
     alg = DeepRitz(mlp([1, 8, 1]), energy, strategy=QuadratureTraining())
     with pytest.raises(TypeError, match="GridTraining or StochasticTraining"):
         discretize_ritz(sys, alg)
+    from neuralpde_tpu import MiniMaxAdaptiveLoss
+
+    with pytest.raises(ValueError, match="adaptive_loss"):
+        DeepRitz(mlp([1, 8, 1]), energy,
+                 adaptive_loss=MiniMaxAdaptiveLoss(reweight_every=5))
