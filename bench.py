@@ -39,6 +39,37 @@ MICROBATCH = 32768
 HIDDEN = 64
 STEPS_MEASURE = 20
 
+# v5e f32 MXU peak (bf16 peak 197 TFLOP/s / 4; PERF.md roofline table pins
+# the measured width-128 train step at ~48.7 TFLOP/s ≈ this number)
+PEAK_F32_TFLOPS = 49.0
+
+
+def _compiled_flops(jitfn, *args):
+    """FLOPs of one invocation of the compiled program per XLA's own cost
+    analysis (returns None where the backend doesn't report it).
+
+    CAVEAT (measured): XLA cost analysis counts while-loop BODIES ONCE, not
+    x trip-count, so pass a loop-free program (a single un-scanned,
+    un-microbatched train step) and scale by the step count externally."""
+    try:
+        ca = jitfn.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca["flops"])
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def _mfu_fields(flops_per_step, dt, steps, prefix=""):
+    """{tflops, mfu_pct} JSON fields from per-step FLOPs + seconds for
+    `steps` steps."""
+    if flops_per_step is None or not dt:
+        return {}
+    tflops = flops_per_step * steps / dt / 1e12
+    return {prefix + "tflops": round(tflops, 2),
+            prefix + "mfu_pct": round(100.0 * tflops / PEAK_F32_TFLOPS, 1)}
+
 
 def time_to_l2(target: float = 1e-3, max_seconds: float = 120.0):
     """Secondary BASELINE metric: wall-clock until the trained solution's
@@ -237,7 +268,7 @@ def measure_cpu_baseline(batch: int = 4096, steps: int = 5):
 
 def _poisson_pps(batch: int, hidden: int = HIDDEN, remat: bool = False,
                  dtype=None, accum=None, steps: int = 20,
-                 derivative: str = "jet"):
+                 derivative: str = "jet", with_flops: bool = False):
     """Training-step throughput (points/sec) for the 2D-Poisson workload
     with the given batch/remat/dtype/accumulation configuration."""
     import jax
@@ -293,7 +324,11 @@ def _poisson_pps(batch: int, hidden: int = HIDDEN, remat: bool = False,
     carry, loss = jm(carry, key)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
-    return (batch + 4 * (batch // 8)) * steps / dt
+    pps = (batch + 4 * (batch // 8)) * steps / dt
+    if with_flops:
+        # single un-scanned step: loop-free, so cost analysis is exact
+        return pps, _compiled_flops(jax.jit(step), carry, key), dt
+    return pps
 
 
 def sweep():
@@ -485,7 +520,7 @@ def time_to_l2_hard(target: float = 1e-3, max_seconds: float = 60.0):
 
 
 def spinn_points_per_sec(n: int = 16384, rank: int = 64, steps: int = 20,
-                         print_json: bool = True):
+                         print_json: bool = True, with_flops: bool = False):
     """Separable-PINN (SPINN) training-step throughput: 2D Poisson on an
     n x n tensor grid with a rank-`rank` factorized trial function and exact
     (hard-constrained) boundary conditions.  The factorized lowering costs
@@ -545,15 +580,19 @@ def spinn_points_per_sec(n: int = 16384, rank: int = 64, steps: int = 20,
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
     pps = n * n * steps / dt
+    flops = _compiled_flops(jax.jit(step), carry, key)   # loop-free 1 step
     if print_json:
         print(json.dumps({
             "metric": "2d_poisson_spinn_collocation_points_per_sec",
             "value": round(pps, 1),
             "unit": "points/sec",
             "vs_baseline": round(pps / BASELINE_POINTS_PER_SEC, 1),
+            **_mfu_fields(flops, dt, steps),
             "note": f"separable (SPINN) trial fn, {n}x{n} grid, rank {rank}, "
                     "hard-constrained BCs",
         }))
+    if with_flops:
+        return pps, flops, dt
     return pps
 
 
@@ -678,20 +717,45 @@ def main():
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
 
+    # FLOPs: XLA cost analysis counts loop bodies once (scan/lax.map), so
+    # analyze an UNCHUNKED twin of one train step — same algorithmic math,
+    # loop-free.  This counts useful FLOPs only (the microbatched program's
+    # per-chunk remat recompute is deliberately excluded from MFU).
+    disc_nf = PhysicsInformedNN(mlp([2, HIDDEN, HIDDEN, 1]),
+                                StochasticTraining(BATCH,
+                                                   bcs_points=BATCH // 8),
+                                derivative="jet")
+    prob_nf = discretize(system, disc_nf)
+    lf_nf = prob_nf.pinnrep.loss_functions
+    step_nf = make_step(prob_nf.loss, opt, prob_nf.pinnrep.adaloss,
+                        lf_nf.pde_loss_functions, lf_nf.bc_loss_functions)
+    theta_nf = prob_nf.init_params
+    carry_nf = (theta_nf, opt.init(theta_nf), ada, jnp.asarray(0, jnp.int32))
+    flops = _compiled_flops(jax.jit(step_nf), carry_nf, key)
+
     # interior batch + 4 bc batches of BATCH/8 points each, per step
     points_per_step = BATCH + 4 * (BATCH // 8)
     pps = points_per_step * STEPS_MEASURE / dt
     # best-formulation companion number: the separable (SPINN) trial
     # function trains the same 2D-Poisson problem at billions of pts/sec
     # (factorized lowering; `--spinn` for the standalone line, PERF.md)
-    spinn = spinn_points_per_sec(print_json=False)
+    spinn, spinn_flops, spinn_dt = spinn_points_per_sec(print_json=False,
+                                                        with_flops=True)
+    # width-128 config: the full-MXU datapoint (a 64-wide contraction can
+    # use at most half the 128x128 systolic array; PERF.md roofline table)
+    w128, w128_flops, w128_dt = _poisson_pps(32768, hidden=128, steps=20,
+                                             with_flops=True)
     print(json.dumps({
         "metric": "2d_poisson_collocation_points_per_sec",
         "value": round(pps, 1),
         "unit": "points/sec",
         "vs_baseline": round(pps / BASELINE_POINTS_PER_SEC, 3),
+        **_mfu_fields(flops, dt, STEPS_MEASURE),
         "spinn_points_per_sec": round(spinn, 1),
         "spinn_vs_baseline": round(spinn / BASELINE_POINTS_PER_SEC, 1),
+        **_mfu_fields(spinn_flops, spinn_dt, 20, "spinn_"),
+        "w128_points_per_sec": round(w128, 1),
+        **_mfu_fields(w128_flops, w128_dt, 20, "w128_"),
     }))
 
 
