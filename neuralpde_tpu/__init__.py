@@ -43,7 +43,10 @@ from .parallel.mesh import (
 )
 from .train import SolveResult, solve, solve_hybrid
 from .gauss_newton import (
+    build_ode_residual_vector, build_pino_residual_vector,
     build_residual_vector, lm_least_squares, solve_gauss_newton,
+    solve_ode_gauss_newton, solve_pino_gauss_newton,
+    trust_region_least_squares,
 )
 from .utils.pytree import vector_to_parameters, parameters_to_vector
 from .nn.dgm import DGM, DGMLSTMLayer
@@ -58,7 +61,7 @@ from .solvers import (
 )
 from .bayesian import (
     BNNODE, BPINNsolution, BPINNstats, ahmc_bayesian_pinn_ode,
-    ahmc_bayesian_pinn_pde, solve_bnnode,
+    ahmc_bayesian_pinn_pde, ess, mcmc_summarize, solve_bnnode, split_rhat,
 )
 from .ops.distributions import LogNormal, Normal, Particles, Uniform
 from .utils.eltype import EltypeAdaptor, recursive_eltype

@@ -1,3 +1,4 @@
+from .diagnostics import ess, split_rhat, summarize as mcmc_summarize  # noqa: F401
 from .hmc import SampleResult, find_good_stepsize, sample, sample_chains  # noqa: F401
 from .ode import (  # noqa: F401
     BNNODE, BPINNsolution, BPINNstats, LogTargetDensity,

@@ -156,6 +156,16 @@ class SampleResult:
                 "step_size": self.step_size,
                 "logdensity": self.logdensities}
 
+    def diagnostics(self, discard: int | None = None) -> dict:
+        """ESS / split-R̂ / mean / std per parameter (the MCMCChains-summary
+        analog; see `bayesian.diagnostics`).  ``discard`` drops warmup draws
+        first (default: the 2/3 warmup used by `sample`)."""
+        from .diagnostics import summarize
+
+        n = self.samples.shape[0]
+        discard = (2 * n) // 3 if discard is None else discard
+        return summarize(np.asarray(self.samples)[discard:])
+
 
 def _hmc_transition(logdensity, grad_fn, kernel, n_leapfrog, lam, max_depth):
     """One MH transition; n_steps depends on kernel."""

@@ -259,6 +259,21 @@ class BPINNsolution:
     estimated_de_params: list
     timepoints: Any
 
+    def diagnostics(self, discard: int | None = None) -> dict:
+        """ESS / split-R̂ / mean / std per flat parameter from this
+        solution's chain (the reference's MCMCChains summary analog;
+        `bayesian.diagnostics`).  ``discard`` drops warmup draws (default
+        2/3).  For multi-chain R̂, stack the chains yourself:
+        ``split_rhat(np.stack([s.original.samples for s in sols]))``."""
+        import numpy as np
+
+        from .diagnostics import summarize
+
+        draws = np.asarray(self.original.samples)
+        n = draws.shape[0]
+        discard = (2 * n) // 3 if discard is None else discard
+        return summarize(draws[discard:])
+
 
 @dataclass
 class BNNODE:

@@ -67,6 +67,9 @@ class PhysicsInformedNN:
     * gradient_enhanced: gPINN weight w (Yu et al. 2022) — each PDE residual
       additionally penalizes √w·∂residual/∂x_i for every independent
       variable (beyond the reference)
+    * matmul_precision: trace-time `jax.default_matmul_precision` for every
+      generated loss ("highest" = true-f32 MXU passes — the TPU accuracy
+      lever, PERF.md r3; None inherits)
     """
 
     def __init__(self, chain, strategy: TrainingStrategy | None, *,
@@ -76,7 +79,8 @@ class PhysicsInformedNN:
                  logger=None, log_options: LogOptions | None = None,
                  seed: int = 0, integral_order: int = 20, integral_panels: int = 1,
                  dtype=None, remat: bool = False, loss_accum_dtype=None,
-                 gradient_enhanced: float | None = None):
+                 gradient_enhanced: float | None = None,
+                 matmul_precision: str | None = None):
         self.multioutput = isinstance(chain, (list, tuple))
         self.chain = list(chain) if self.multioutput else chain
         self.strategy = strategy
@@ -103,6 +107,12 @@ class PhysicsInformedNN:
         self.loss_accum_dtype = loss_accum_dtype
         # gPINN residual-gradient weight (None = off); see symbolic_discretize
         self.gradient_enhanced = gradient_enhanced
+        # trace-time jax.default_matmul_precision for every generated loss:
+        # "highest" = true-f32 MXU passes.  THE TPU accuracy lever (PERF.md
+        # r3): default bf16-pass matmuls floor sharp-front separable
+        # Allen-Cahn at rel L2 0.025; "highest" reaches 0.0039 at
+        # comparable wall-clock.  None inherits the ambient precision.
+        self.matmul_precision = matmul_precision
         chains = self.chain if self.multioutput else [self.chain]
         self.phi = [Phi(c) for c in chains] if self.multioutput else Phi(self.chain)
 
@@ -337,6 +347,20 @@ def symbolic_discretize(pde_system: PDESystem,
     pde_loss_functions, bc_loss_functions = discretization.strategy.build(
         pinnrep, datafree_pde, datafree_bc)
 
+    mp = discretization.matmul_precision
+    if mp is not None:
+        def _with_prec(fn):
+            def wrapped(*a, **k):
+                with jax.default_matmul_precision(mp):
+                    return fn(*a, **k)
+
+            return wrapped
+
+        pde_loss_functions = [_with_prec(f) for f in pde_loss_functions]
+        bc_loss_functions = [_with_prec(f) for f in bc_loss_functions]
+        datafree_pde = [_with_prec(f) for f in datafree_pde]
+        datafree_bc = [_with_prec(f) for f in datafree_bc]
+
     additional_loss = discretization.additional_loss
     phi_for_user = discretization.phi
     param_estim = discretization.param_estim
@@ -375,6 +399,9 @@ def symbolic_discretize(pde_system: PDESystem,
             aux["additional_loss"] = add
         aux["full_weighted_loss"] = total
         return total, aux
+
+    if mp is not None:
+        full_loss_function = _with_prec(full_loss_function)
 
     pinnrep.loss_functions = PINNLossFunctions(
         bc_loss_functions=bc_loss_functions,

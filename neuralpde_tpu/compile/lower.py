@@ -23,6 +23,7 @@ from dataclasses import dataclass, field
 from typing import Callable, Sequence
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ops.derivatives import DerivativeEngine
@@ -185,6 +186,16 @@ def _depvar_cord(call: DepVarCall, env, theta, p, ctx, N):
     for a in call.args:
         v = _ev(a, env, theta, p, ctx, N)
         rows.append(jnp.broadcast_to(jnp.asarray(v), (N,)))
+    # EltypeAdaptor semantics (reference: src/eltype_matching.jl): network
+    # inputs follow the parameter eltype.  Without this, a CONSTANT call
+    # argument (u(0.0, y)) materializes as weak-f64 under jax_enable_x64 and
+    # silently promotes an f32 problem's residual to f64.
+    leaves = jax.tree.leaves(ctx.theta_for(call.name, theta))
+    if leaves:
+        dt = jnp.asarray(leaves[0]).dtype
+        if jnp.issubdtype(dt, jnp.floating):
+            rows = [r.astype(dt) if jnp.issubdtype(r.dtype, jnp.floating)
+                    else r for r in rows]
     return jnp.stack(rows, axis=0)
 
 
@@ -279,12 +290,14 @@ def get_numeric_integral(ctx: LoweringContext, default_p=None, *,
     ``integral(expr, cord, theta, env_syms)`` evaluating an IntegralExpr at the
     columns of ``cord`` (rows bound to ``env_syms`` in order).
 
-    ``adaptive=True`` switches 1-D integrals to the runtime h-adaptive
-    host path honoring reltol/abstol/maxiters — per-column adaptive solves
-    exactly as the reference's per-column IntegralProblem loop
-    (src/discretize.jl:387-394).  Host-side and gradient-opaque: use for
-    evaluation parity, not inside a jitted loss."""
-    from ..ops.quadrature import adaptive_quad_1d
+    ``adaptive=True`` switches to the runtime h-adaptive host path honoring
+    reltol/abstol/maxiters — per-column adaptive solves exactly as the
+    reference's per-column IntegralProblem loop (src/discretize.jl:387-394):
+    QuadGKJL-style interval bisection for 1-D integrals, CubatureJLh-style
+    box bisection (`ops.quadrature.adaptive_quad_nd`) for n-D.  Host-side
+    and gradient-opaque: use for evaluation parity, not inside a jitted
+    loss."""
+    from ..ops.quadrature import adaptive_quad_1d, adaptive_quad_nd
 
     p_arr = None if default_p is None else jnp.asarray(default_p)
 
@@ -296,28 +309,43 @@ def get_numeric_integral(ctx: LoweringContext, default_p=None, *,
             return _ev_integral(expr, env, theta, p_arr, ctx, N)
 
         expr_t = transform_inf_integral(expr)
-        if len(expr_t.ivars) != 1:
-            raise ValueError(
-                "adaptive=True supports 1-D integrals (the reference's "
-                "QuadGKJL parity path); use the static tensor rule for n-D")
-        ivar = expr_t.ivars[0].name
+        ivars = [v.name for v in expr_t.ivars]
         outs = []
+
+        def bound(b, env_j):
+            return (float(_ev(b, env_j, theta, p_arr, ctx, 1))
+                    if isinstance(b, Expr) else float(b))
+
         for j in range(N):
             env_j = {s.name: cord[i, j] for i, s in enumerate(env_syms)}
-            lbv = (float(_ev(expr_t.lb[0], env_j, theta, p_arr, ctx, 1))
-                   if isinstance(expr_t.lb[0], Expr) else float(expr_t.lb[0]))
-            ubv = (float(_ev(expr_t.ub[0], env_j, theta, p_arr, ctx, 1))
-                   if isinstance(expr_t.ub[0], Expr) else float(expr_t.ub[0]))
+            lbs = [bound(b, env_j) for b in expr_t.lb]
+            ubs = [bound(b, env_j) for b in expr_t.ub]
 
-            def f(nodes, env_j=env_j):
-                e = dict(env_j)
-                e[ivar] = jnp.asarray(nodes)
-                v = _ev(expr_t.integrand, e, theta, p_arr, ctx, len(nodes))
-                return np.asarray(jnp.broadcast_to(jnp.asarray(v),
-                                                   (len(nodes),)))
+            if len(ivars) == 1:
+                def f1(nodes, env_j=env_j):
+                    e = dict(env_j)
+                    e[ivars[0]] = jnp.asarray(nodes)
+                    v = _ev(expr_t.integrand, e, theta, p_arr, ctx,
+                            len(nodes))
+                    return np.asarray(jnp.broadcast_to(jnp.asarray(v),
+                                                       (len(nodes),)))
 
-            val, _err = adaptive_quad_1d(f, lbv, ubv, reltol=reltol,
-                                         abstol=abstol, maxiters=maxiters)
+                val, _err = adaptive_quad_1d(f1, lbs[0], ubs[0],
+                                             reltol=reltol, abstol=abstol,
+                                             maxiters=maxiters)
+            else:
+                def fn(nodes, env_j=env_j):
+                    e = dict(env_j)
+                    for d, name in enumerate(ivars):
+                        e[name] = jnp.asarray(nodes[d])
+                    v = _ev(expr_t.integrand, e, theta, p_arr, ctx,
+                            nodes.shape[1])
+                    return np.asarray(jnp.broadcast_to(jnp.asarray(v),
+                                                       (nodes.shape[1],)))
+
+                val, _err = adaptive_quad_nd(fn, lbs, ubs, reltol=reltol,
+                                             abstol=abstol,
+                                             maxiters=maxiters)
             outs.append(val)
         return jnp.asarray(np.stack(outs))
 

@@ -188,31 +188,116 @@ def build_residual_vector(pinnrep) -> Callable:
     return residuals
 
 
+def _damped_lsqr(matvec, rmatvec, b, damp, iters: int, hi=None):
+    """LSQR (Paige & Saunders 1982, Golub-Kahan bidiagonalization) for
+    ``min ||J x - b||² + damp²·||x||²`` — mathematically the LM normal
+    equations ``(JᵀJ + damp² I) x = Jᵀ b``, but WITHOUT ever forming JᵀJ
+    products in the recurrence, so the effective condition number is κ(J)
+    instead of κ(J)² — the fix for the measured f32 CG stall (PERF.md).
+
+    ``matvec``/``rmatvec`` evaluate J·v / Jᵀ·u in the residual dtype (f32 —
+    the network math stays on the MXU); with ``hi`` (e.g. jnp.float64) the
+    bidiagonalization vectors, Givens rotations, and solution accumulate in
+    the wider dtype (cheap: O(M+n) elementwise per iteration)."""
+    cast = (lambda z: z.astype(hi)) if hi is not None else (lambda z: z)
+    lo_dtype = b.dtype
+    lo = (lambda z: z.astype(lo_dtype)) if hi is not None else (lambda z: z)
+
+    def Av(v):
+        return cast(matvec(lo(v)))
+
+    def Atu(u):
+        return cast(rmatvec(lo(u)))
+
+    def _normalize(z):
+        nrm = jnp.linalg.norm(z)
+        return z / jnp.where(nrm > 0, nrm, 1.0), nrm
+
+    b_hi = cast(b)
+    u, beta = _normalize(b_hi)
+    v, alpha = _normalize(Atu(u))
+    damp_hi = jnp.asarray(damp, u.dtype)
+    x = jnp.zeros_like(v)
+    state0 = (x, v, u, v, alpha, beta, alpha)   # (x, w, u, v, α, φ̄, ρ̄)
+
+    def body(_, state):
+        x, w, u, v, alpha, phibar, rhobar = state
+        u, beta = _normalize(Av(v) - alpha * u)
+        v, alpha = _normalize(Atu(u) - beta * v)
+        # rotation eliminating the damping row
+        rhobar1 = jnp.sqrt(rhobar * rhobar + damp_hi * damp_hi)
+        phibar = (rhobar / rhobar1) * phibar
+        # Givens rotation eliminating the subdiagonal β
+        rho = jnp.sqrt(rhobar1 * rhobar1 + beta * beta)
+        cs, sn = rhobar1 / rho, beta / rho
+        theta = sn * alpha
+        rhobar = -cs * alpha
+        phi = cs * phibar
+        phibar = sn * phibar
+        x = x + (phi / rho) * w
+        w = v - (theta / rho) * w
+        return (x, w, u, v, alpha, phibar, rhobar)
+
+    x = jax.lax.fori_loop(0, iters, body, state0)[0]
+    return lo(x)
+
+
 def lm_least_squares(r_fn: Callable, init_params, *, maxiters: int = 50,
                      damping: float = 1e-3, cg_iters: int = 100,
                      damping_factor: float = 3.0, min_damping: float = 1e-12,
                      max_damping: float = 1e8, abstol: float = 0.0,
-                     precondition: bool = False, verbose: bool = False,
+                     precondition: bool = False, solver: str = "cg",
+                     scalar_dtype=None,
+                     matmul_precision: str | None = "highest",
+                     verbose: bool = False,
                      callback=None) -> SolveResult:
     """Levenberg-Marquardt on ``loss(θ) = ||r_fn(θ)||²`` for any residual
     pytree-function (bring your own residual — e.g. ODE physics + data
     stacks for inverse problems).
 
     Each outer iteration jits one fused program: residual + gradient, a
-    ``cg_iters``-step matrix-free CG solve of ``(JᵀJ + λI)δ = Jᵀr``, and the
-    trial objective at ``θ - δ``.  λ adapts on the host: accepted steps
+    ``cg_iters``-step matrix-free inner solve of ``(JᵀJ + λI)δ = Jᵀr``, and
+    the trial objective at ``θ - δ``.  λ adapts on the host: accepted steps
     divide it by ``damping_factor``, rejected steps multiply (θ unchanged).
     Stops at ``maxiters`` outer iterations or ``loss < abstol``.
+
+    * ``solver``: "cg" (CG on the normal equations; each iteration one jvp +
+      one vjp) or "lsqr" (damped LSQR on J itself — same cost per iteration,
+      conditioning κ(J) instead of κ(J)²).
+    * ``scalar_dtype``: with solver="lsqr", run the recurrence/rotations in
+      this wider dtype (e.g. ``jnp.float64``) while the J products stay in
+      the residual dtype — mixed-precision GN: MXU-speed f32 network math
+      with f64-stable inner iterations.  Requires ``jax.config.x64`` for
+      float64 (the *problem* can stay f32).
+    * ``matmul_precision``: trace-time `jax.default_matmul_precision` for
+      every GN program (default "highest" = true-f32 MXU passes).  THE TPU
+      accuracy fix: the round-2 "f32 stall at 2.3e-3" was the MXU's default
+      bf16-pass matmuls, not CG conditioning — with "highest" the f32 solve
+      matches CPU-f32 quality at MXU speed (measured, PERF.md).  The nets
+      GN targets are tiny, so the ~3x matmul cost is irrelevant.  None
+      inherits the ambient precision.
     """
+    import contextlib
+
     v0, unravel = ravel_pytree(init_params)
-    if v0.dtype == jnp.float32:
+    if v0.dtype == jnp.float32 and matmul_precision is None:
         import warnings
 
         warnings.warn(
-            "Gauss-Newton CG on the normal equations amplifies float32 "
-            "rounding and typically stalls ~2e-3 (measured, PERF.md); enable "
-            "jax_enable_x64 and build the problem with dtype=jnp.float64",
+            "float32 Gauss-Newton with matmul_precision=None stalls ~2e-3 "
+            "on TPU (default MXU matmuls run bf16 passes; measured, "
+            "PERF.md) — leave matmul_precision='highest' or enable "
+            "jax_enable_x64 end-to-end",
             stacklevel=2)
+    if solver not in ("cg", "lsqr"):
+        raise ValueError(f"solver must be 'cg' or 'lsqr', got {solver!r}")
+    if scalar_dtype is not None and solver != "lsqr":
+        raise ValueError("scalar_dtype (mixed-precision recurrence) requires "
+                         "solver='lsqr'")
+
+    def _prec():
+        return (jax.default_matmul_precision(matmul_precision)
+                if matmul_precision is not None else contextlib.nullcontext())
 
     def r_flat(v):
         return r_fn(unravel(v))
@@ -223,7 +308,19 @@ def lm_least_squares(r_fn: Callable, init_params, *, maxiters: int = 50,
 
     @jax.jit
     def trial(v, lam):
+        with _prec():
+            return _trial_body(v, lam)
+
+    def _trial_body(v, lam):
         r, vjp = jax.vjp(r_flat, v)
+
+        if solver == "lsqr":
+            delta = _damped_lsqr(
+                lambda p: jax.jvp(r_flat, (v,), (p,))[1],
+                lambda y: vjp(y)[0], r, jnp.sqrt(lam), cg_iters,
+                hi=scalar_dtype)
+            return v - delta, loss_of(v - delta)
+
         g = vjp(r)[0]
 
         def matvec(p):
@@ -248,7 +345,10 @@ def lm_least_squares(r_fn: Callable, init_params, *, maxiters: int = 50,
         v_new = v - delta
         return v_new, loss_of(v_new)
 
-    jit_loss = jax.jit(loss_of)
+    @jax.jit
+    def jit_loss(v):
+        with _prec():
+            return loss_of(v)
     lam = float(damping)
     v = v0
     loss = float(jit_loss(v))
@@ -281,9 +381,333 @@ def lm_least_squares(r_fn: Callable, init_params, *, maxiters: int = 50,
                        aux={"damping": lam}, history=history)
 
 
-def solve_gauss_newton(prob, **kwargs) -> SolveResult:
-    """Levenberg-Marquardt on a discretized `TrainingProblem`'s least-squares
-    objective (see `lm_least_squares` for the knobs; deterministic strategies
-    only — GridTraining or static-grid SeparableTraining)."""
-    return lm_least_squares(build_residual_vector(prob.pinnrep),
-                            prob.init_params, **kwargs)
+def trust_region_least_squares(r_fn: Callable, init_params, *,
+                               maxiters: int = 50, cg_iters: int = 100,
+                               delta0: float = 1.0, max_delta: float = 1e4,
+                               eta: float = 0.125, abstol: float = 0.0,
+                               matmul_precision: str | None = "highest",
+                               verbose: bool = False,
+                               callback=None) -> SolveResult:
+    """Steihaug-Toint trust-region Gauss-Newton on ``loss = ||r_fn(θ)||²``
+    (Conn, Gould & Toint 2000, Alg. 7.5.1; the LM alternative — the model
+    ``m(p) = gᵀp + ½pᵀJᵀJp`` is minimized over ``||p|| <= Δ`` by truncated
+    CG that stops at the boundary or on negative curvature, so no damping
+    schedule is needed).  Each outer iteration is ONE jitted program; the
+    radius Δ adapts on the host from the actual/predicted reduction ratio.
+    ``matmul_precision``: see `lm_least_squares` (the TPU f32 accuracy
+    fix; default "highest")."""
+    import contextlib
+
+    v0, unravel = ravel_pytree(init_params)
+
+    def _prec():
+        return (jax.default_matmul_precision(matmul_precision)
+                if matmul_precision is not None else contextlib.nullcontext())
+
+    def r_flat(v):
+        return r_fn(unravel(v))
+
+    def loss_of(v):
+        r = r_flat(v)
+        return jnp.sum(r * r)
+
+    @jax.jit
+    def tr_step(v, delta):
+        with _prec():
+            return _tr_step_body(v, delta)
+
+    def _tr_step_body(v, delta):
+        r, vjp = jax.vjp(r_flat, v)
+        g = vjp(r)[0]                    # ∇(½||r||²) = Jᵀr
+
+        def B(p):
+            return vjp(jax.jvp(r_flat, (v,), (p,))[1])[0]
+
+        eps = jnp.asarray(jnp.finfo(v.dtype).tiny, v.dtype)
+        g2 = jnp.vdot(g, g)
+
+        def boundary(p, d):
+            # τ >= 0 with ||p + τ d|| = Δ
+            pd, dd, pp = jnp.vdot(p, d), jnp.vdot(d, d), jnp.vdot(p, p)
+            disc = jnp.sqrt(jnp.maximum(pd * pd - dd * (pp - delta * delta),
+                                        0.0))
+            return (-pd + disc) / jnp.maximum(dd, eps)
+
+        def cond(st):
+            i, p, rr, d, done, hit = st
+            return (i < cg_iters) & (~done)
+
+        def body(st):
+            i, p, rr, d, done, hit = st
+            Bd = B(d)
+            dBd = jnp.vdot(d, Bd)
+            rr2 = jnp.vdot(rr, rr)
+            alpha = rr2 / jnp.where(dBd > 0, dBd, 1.0)
+            p_try = p + alpha * d
+            to_boundary = (dBd <= 0) | (jnp.vdot(p_try, p_try)
+                                        >= delta * delta)
+            p_new = jnp.where(to_boundary, p + boundary(p, d) * d, p_try)
+            rr_new = rr + alpha * Bd
+            rr2_new = jnp.vdot(rr_new, rr_new)
+            small = rr2_new < 1e-14 * g2
+            d_new = -rr_new + (rr2_new / jnp.maximum(rr2, eps)) * d
+            return (i + 1,
+                    p_new,
+                    jnp.where(to_boundary, rr, rr_new),
+                    jnp.where(to_boundary, d, d_new),
+                    done | to_boundary | small,
+                    hit | to_boundary)
+
+        p0 = jnp.zeros_like(g)
+        st = (jnp.asarray(0), p0, g, -g,
+              jnp.asarray(False), jnp.asarray(False))
+        _, p, _, _, _, hit = jax.lax.while_loop(cond, body, st)
+        # predicted reduction of the ½||r||² model (positive for descent)
+        pred = -(jnp.vdot(g, p) + 0.5 * jnp.vdot(p, B(p)))
+        v_new = v + p
+        return v_new, loss_of(v_new), pred, jnp.linalg.norm(p), hit
+
+    @jax.jit
+    def jit_loss(v):
+        with _prec():
+            return loss_of(v)
+    v = v0
+    loss = float(jit_loss(v))
+    delta = float(delta0)
+    history = [loss]
+    it = 0
+    while it < maxiters:
+        v_new, loss_new, pred, pnorm, hit = tr_step(
+            v, jnp.asarray(delta, v.dtype))
+        loss_new = float(loss_new)
+        ared = 0.5 * (loss - loss_new)   # actual reduction in the ½ metric
+        rho = ared / max(float(pred), 1e-300)
+        accepted = np.isfinite(loss_new) and rho > eta and loss_new < loss
+        if accepted:
+            v, loss = v_new, loss_new
+        if rho < 0.25:
+            delta = max(0.25 * float(pnorm), 1e-12)
+        elif rho > 0.75 and bool(hit):
+            delta = min(2.0 * delta, max_delta)
+        it += 1
+        history.append(loss)
+        if verbose:
+            print(f"[gn-tr] iter={it} loss={loss:.3e} delta={delta:.1e} "
+                  f"rho={rho:.2f} {'acc' if accepted else 'rej'}")
+        if callback is not None:
+            callback(it, loss, delta, accepted)
+        if loss < abstol:
+            break
+        if delta <= 1e-12:
+            break   # radius collapsed: no trustable descent direction
+
+    return SolveResult(u=unravel(v), objective=loss, iterations=it,
+                       aux={"delta": delta}, history=history)
+
+
+def solve_gauss_newton(prob, *, method: str = "lm", **kwargs) -> SolveResult:
+    """Gauss-Newton on a discretized `TrainingProblem`'s least-squares
+    objective (deterministic strategies only — GridTraining, static-grid
+    SeparableTraining, or QuadratureTraining).
+
+    ``method``: "lm" (Levenberg-Marquardt damping, `lm_least_squares`) or
+    "tr" (Steihaug trust region, `trust_region_least_squares`)."""
+    r_fn = build_residual_vector(prob.pinnrep)
+    if method == "tr":
+        return trust_region_least_squares(r_fn, prob.init_params, **kwargs)
+    if method != "lm":
+        raise ValueError(f"method must be 'lm' or 'tr', got {method!r}")
+    return lm_least_squares(r_fn, prob.init_params, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Gauss-Newton drivers for the solver surfaces (NNODE / PINOODE)
+# ---------------------------------------------------------------------------
+
+def build_ode_residual_vector(prob, alg, *, dt=None):
+    """Flat residual ``r(theta) -> (M,)`` for an `ODEProblem` + `NNODE`
+    config with ``||r(θ)||² == total NNODE loss``: physics rows at the
+    strategy's deterministic time points scaled 1/√N (matching
+    `inner_loss`'s sum/N reduction, solvers/ode.py), plus data-L2 rows
+    (scale 1) and Data-Quadrature rows (scale √w) for inverse problems
+    (reference losses: src/ode_solve.jl:184-342).
+
+    Deterministic strategies only: GridTraining or
+    WeightedIntervalTraining (its one-shot sample is drawn at build time,
+    like the reference's per-solve draw).  Returns ``(r_fn, theta0, phi)``.
+    """
+    from .config import default_float
+    from .solvers.ode import ODEPhi, _batched_f, ode_dfdx
+    from .strategies import (
+        GridTraining as _GT, WeightedIntervalTraining as _WIT, julia_range,
+    )
+
+    dtype = default_float()
+    t0 = float(prob.tspan[0])
+    u0 = prob.u0
+    if jnp.iscomplexobj(jnp.asarray(u0)):
+        raise ValueError("Gauss-Newton residual vectors require real u "
+                         "(complex ODEs: use solve_ode with Adam/L-BFGS)")
+    scalar_u0 = jnp.ndim(u0) == 0
+    n_output = 1 if scalar_u0 else int(np.prod(np.shape(u0)))
+    dataset = alg.dataset or []
+
+    phi = ODEPhi(alg.chain, t0, u0)
+    chain_params = (alg.chain.init(jax.random.key(alg.seed))
+                    if alg.init_params is None else alg.init_params)
+    theta0 = {"depvar": chain_params}
+    if alg.param_estim:
+        theta0["p"] = jnp.asarray(prob.p, dtype=dtype)
+
+    strategy = alg.strategy
+    if strategy is None and dt is not None:
+        strategy = _GT(dt)
+    if isinstance(strategy, _GT):
+        ts = jnp.asarray(julia_range(t0, float(prob.tspan[1]), strategy.dx),
+                         dtype=dtype)
+    elif isinstance(strategy, _WIT):
+        ts = jnp.asarray(strategy.sample_times(t0, float(prob.tspan[1])),
+                         dtype=dtype)
+    else:
+        raise TypeError(
+            "Gauss-Newton needs a deterministic NNODE objective: use "
+            "GridTraining(dx)/dt= or WeightedIntervalTraining; got "
+            f"{type(strategy).__name__}")
+
+    def physics_rows(theta):
+        p_ = theta["p"] if alg.param_estim else prob.p
+        out = phi(ts, theta)
+        u_in = out[0] if scalar_u0 else out
+        fs = _batched_f(prob.f)(jnp.atleast_2d(u_in), p_, ts)
+        dxdt = ode_dfdx(phi, ts, theta, alg.autodiff)
+        return jnp.ravel(fs - dxdt) / jnp.sqrt(
+            jnp.asarray(float(ts.shape[0]), dtype))
+
+    blocks = [physics_rows]
+    if alg.param_estim and dataset:
+        t_d = jnp.asarray(dataset[-2], dtype=dtype)
+        us = jnp.stack([jnp.asarray(dataset[i], dtype=dtype)
+                        for i in range(n_output)])
+
+        def data_rows(theta):
+            return jnp.ravel(phi(t_d, theta) - us)   # sum-of-squares: scale 1
+
+        blocks.append(data_rows)
+        if alg.estim_collocate:
+            w = jnp.sqrt(jnp.asarray(dataset[-1], dtype=dtype))
+
+            def collocate_rows(theta):
+                dxdt = ode_dfdx(phi, t_d, theta, alg.autodiff)
+                u_in = us[0] if scalar_u0 else us
+                fs = _batched_f(prob.f)(jnp.atleast_2d(u_in), theta["p"], t_d)
+                return jnp.ravel((dxdt - fs) * w[None, :])
+
+            blocks.append(collocate_rows)
+
+    def r_fn(theta):
+        return jnp.concatenate([b(theta) for b in blocks])
+
+    return r_fn, theta0, phi
+
+
+def solve_ode_gauss_newton(prob, alg, *, dt=None, saveat=None,
+                           save_everystep: bool = True, method: str = "lm",
+                           **kwargs):
+    """`solve_ode` with Gauss-Newton instead of a first-order optimizer:
+    the NNODE objective (physics + inverse-problem losses) is minimized as
+    the nonlinear least-squares problem it is.  ``method``: "lm" or "tr";
+    remaining kwargs go to the corresponding least-squares driver.  Returns
+    the same dense `ODESolution` as `solve_ode`."""
+    from .config import default_float
+    from .solvers.ode import build_ode_solution
+
+    r_fn, theta0, phi = build_ode_residual_vector(prob, alg, dt=dt)
+    driver = (trust_region_least_squares if method == "tr"
+              else lm_least_squares)
+    if method not in ("lm", "tr"):
+        raise ValueError(f"method must be 'lm' or 'tr', got {method!r}")
+    res = driver(r_fn, theta0, **kwargs)
+    return build_ode_solution(prob, phi, res, dt=dt, saveat=saveat,
+                              save_everystep=save_everystep,
+                              dtype=default_float())
+
+
+def build_pino_residual_vector(prob, alg, *, dt=None):
+    """Flat residual for an `ODEProblem` + `PINOODE` operator config with
+    ``||r(θ)||² == PINO loss`` (physics-mean + IC-mean, solvers/pino.py
+    `_losses`) on the deterministic GridTraining (p, t) product train set.
+    Returns ``(r_fn, theta0, phi)``."""
+    from .config import default_float
+    from .solvers.pino import PINOPhi, _grid_trainset, _residuals
+    from .strategies import GridTraining as _GT
+
+    dtype = default_float()
+    if alg.bounds is None:
+        raise ValueError("PINOODE requires parameter bounds")
+    strategy = alg.strategy
+    if strategy is None and dt is not None:
+        strategy = _GT(dt)
+    if not isinstance(strategy, _GT):
+        raise TypeError(
+            "Gauss-Newton needs a deterministic PINO train set: use "
+            "PINOODE(strategy=GridTraining(dx)) or pass dt=")
+    bounds = [tuple(map(float, b)) for b in alg.bounds]
+    tspan = (float(prob.tspan[0]), float(prob.tspan[1]))
+    phi = PINOPhi(alg.chain)
+    chain_params = (alg.chain.init(jax.random.key(alg.seed))
+                    if alg.init_params is None else alg.init_params)
+    theta0 = {"depvar": chain_params}
+    p_tr, t_tr = _grid_trainset(bounds, alg.number_of_parameters, tspan,
+                                strategy.dx or dt, dtype)
+
+    def r_fn(theta):
+        r_phys, r_ic = _residuals(phi, prob, p_tr, t_tr, theta)
+        return jnp.concatenate([
+            jnp.ravel(r_phys) / jnp.sqrt(jnp.asarray(float(r_phys.size),
+                                                     dtype)),
+            jnp.ravel(r_ic) / jnp.sqrt(jnp.asarray(float(r_ic.size), dtype)),
+        ])
+
+    return r_fn, theta0, phi
+
+
+def solve_pino_gauss_newton(prob, alg, *, dt=None, method: str = "lm",
+                            **kwargs):
+    """`solve_pino_ode` with Gauss-Newton: minimizes the operator-learning
+    least squares (physics + IC over the (p, t) grid).  Returns the same
+    `PINOODESolution` (sol(p, t) dispatches to the trained operator)."""
+    import jax as _jax
+
+    from .config import default_float
+    from .solvers.pino import PINOODESolution, _grid_trainset
+    from .strategies import GridTraining as _GT
+
+    r_fn, theta0, phi = build_pino_residual_vector(prob, alg, dt=dt)
+    driver = (trust_region_least_squares if method == "tr"
+              else lm_least_squares)
+    if method not in ("lm", "tr"):
+        raise ValueError(f"method must be 'lm' or 'tr', got {method!r}")
+    res = driver(r_fn, theta0, **kwargs)
+
+    dtype = default_float()
+    bounds = [tuple(map(float, b)) for b in alg.bounds]
+    tspan = (float(prob.tspan[0]), float(prob.tspan[1]))
+    strategy = alg.strategy if isinstance(alg.strategy, _GT) else _GT(dt)
+    p_fin, t_fin = _grid_trainset(bounds, alg.number_of_parameters, tspan,
+                                  strategy.dx or dt, dtype)
+    n_out = 1 if jnp.ndim(prob.u0) == 0 else int(np.prod(np.shape(prob.u0)))
+
+    def interp(p, t):
+        if phi.is_deeponet:
+            return phi((p, t), res.u)
+        P, T = p.shape[1], t.shape[1]
+        pp = jnp.repeat(p[:, :, None], T, axis=2)
+        tt = jnp.broadcast_to(t[0][None, None, :], (1, P, T))
+        x = jnp.concatenate([pp, tt], axis=0).reshape(p.shape[0] + 1, P * T)
+        out = phi(x, res.u).reshape(n_out, P, T)
+        if n_out == 1:
+            return out[0].T
+        return jnp.moveaxis(out, 2, 0)
+
+    u = interp(p_fin, t_fin)
+    return PINOODESolution(u=u, t=t_fin, p=p_fin, interp=interp, original=res)

@@ -122,6 +122,63 @@ def adaptive_quad_1d(f, a: float, b: float, *, reltol: float = 1e-6,
     return total_i, total_err
 
 
+def adaptive_quad_nd(f, lb, ub, *, reltol: float = 1e-6, abstol: float = 1e-3,
+                     maxiters: int = 1000, order_low: int = 4,
+                     order_high: int = 7):
+    """h-adaptive n-D cubature over the box [lb, ub] (the n-D analog of
+    `adaptive_quad_1d`, covering the reference's CubatureJLh evaluation path
+    for multi-variable integrals, reference: src/discretize.jl:332-396).
+
+    Each box is integrated with an embedded tensor Gauss-Legendre pair
+    (order_high vs order_low) giving the local error estimate; the
+    worst-error box is bisected along its LONGEST edge (the h-adaptive
+    CubatureJLh strategy) until the global estimate meets
+    ``max(abstol, reltol·|I|)`` or ``maxiters`` box evaluations are spent.
+    Host-side (eager) — for evaluation/debugging, not jitted losses.
+
+    ``f(nodes)`` maps a (dim, Q) node matrix to (..., Q) integrand values.
+    Returns (integral (...,), error_estimate: float).
+    """
+    import heapq
+
+    lb = np.asarray(lb, dtype=np.float64)
+    ub = np.asarray(ub, dtype=np.float64)
+    dim = lb.shape[0]
+    nh, wh = tensor_rule_unit(dim, order_high)
+    nl, wl = tensor_rule_unit(dim, order_low)
+
+    def box(a, b):
+        scale = b - a
+        vol = float(np.prod(scale))
+        fh = np.asarray(f(a[:, None] + scale[:, None] * nh))
+        fl = np.asarray(f(a[:, None] + scale[:, None] * nl))
+        i_h = (fh * wh).sum(-1) * vol
+        i_l = (fl * wl).sum(-1) * vol
+        return i_h, float(np.max(np.abs(i_h - i_l)))
+
+    total_i, total_err = box(lb, ub)
+    heap = [(-total_err, 0, lb, ub, total_i, total_err)]
+    counter, evals = 1, 1
+    while evals < maxiters:
+        tol = max(abstol, reltol * float(np.max(np.abs(total_i))))
+        if total_err <= tol:
+            break
+        _, _, a0, b0, i0, e0 = heapq.heappop(heap)
+        axis = int(np.argmax(b0 - a0))
+        m = 0.5 * (a0[axis] + b0[axis])
+        b1 = b0.copy(); b1[axis] = m
+        a2 = a0.copy(); a2[axis] = m
+        i1, e1 = box(a0, b1)
+        i2, e2 = box(a2, b0)
+        total_i = total_i - i0 + i1 + i2
+        total_err = total_err - e0 + e1 + e2
+        heapq.heappush(heap, (-e1, counter, a0, b1, i1, e1))
+        heapq.heappush(heap, (-e2, counter + 1, a2, b0, i2, e2))
+        counter += 2
+        evals += 2
+    return total_i, total_err
+
+
 def integrate_parametric_1d(f, lb: Array, ub: Array, order: int = 10, panels: int = 1):
     """Batched 1-D integrals with per-column bounds.
 

@@ -283,8 +283,20 @@ def solve_ode(prob: ODEProblem, alg: NNODE, *, dt=None, abstol: float = 1e-6,
                       maxiters=maxiters, abstol=abstol, verbose=verbose,
                       callback=callback, key=key, inner_steps=inner_steps)
 
-    # --- save points (reference: src/ode_solve.jl:484-494) -----------------
-    t1 = float(prob.tspan[1])
+    return build_ode_solution(prob, phi, res, dt=dt, saveat=saveat,
+                              save_everystep=save_everystep, dtype=dtype)
+
+
+def build_ode_solution(prob: ODEProblem, phi: ODEPhi, res, *, dt=None,
+                       saveat=None, save_everystep: bool = True,
+                       dtype=None) -> ODESolution:
+    """Dense `ODESolution` from trained parameters ``res.u`` (the save-point
+    + interpolation tail of `solve_ode`; reference: src/ode_solve.jl:484-513).
+    Shared by the Adam/L-BFGS path and the Gauss-Newton driver."""
+    dtype = dtype or default_float()
+    u0 = prob.u0
+    scalar_u0 = jnp.ndim(u0) == 0
+    t0, t1 = float(prob.tspan[0]), float(prob.tspan[1])
     if isinstance(saveat, (int, float)):
         ts = julia_range(t0, t1, float(saveat))
     elif saveat is not None:

@@ -79,8 +79,10 @@ def _stochastic_trainset(key, bounds, n_params, tspan, n_t, dtype):
     return p, t
 
 
-def _losses(phi: PINOPhi, prob: ODEProblem, p, t, theta):
-    """physics + IC loss at trainset (p, t).
+def _residuals(phi: PINOPhi, prob: ODEProblem, p, t, theta):
+    """Pointwise (physics, initial-condition) residual fields at trainset
+    (p, t) — the least-squares structure behind `_losses`, also consumed by
+    the Gauss-Newton driver (gauss_newton.build_pino_residual_vector).
 
     DeepONet mode: scalar u only (u(p,t) shaped (T, P)).  MLP mode supports
     vector u0 (chain out_dim = n_out): outputs shaped (n_out, P, T)."""
@@ -106,9 +108,7 @@ def _losses(phi: PINOPhi, prob: ODEProblem, p, t, theta):
         f_pt = jax.vmap(jax.vmap(f_one, in_axes=(0, None, 0)),   # over T
                         in_axes=(1, 1, None), out_axes=1)        # over P
         f_vec = f_pt(out, p, t[0])                                # (T, P)
-        physics = jnp.mean((du - f_vec) ** 2)
-        ic = jnp.mean((u_at_t0 - prob.u0) ** 2)
-        return physics + ic
+        return du - f_vec, u_at_t0 - prob.u0
 
     pp = jnp.repeat(p[:, :, None], T, axis=2)             # (n_b, P, T)
     tt = jnp.broadcast_to(t[0][None, None, :], (1, P, T))
@@ -127,9 +127,14 @@ def _losses(phi: PINOPhi, prob: ODEProblem, p, t, theta):
     f_pt = jax.vmap(jax.vmap(f_one, in_axes=(1, None, 0), out_axes=1),
                     in_axes=(1, 1, None), out_axes=1)      # (n_out, P, T)
     f_vec = f_pt(out, p, t[0])
-    physics = jnp.mean((du - f_vec) ** 2)
-    ic = jnp.mean((u_at_t0 - u0_arr[:, None, None]) ** 2)
-    return physics + ic
+    return du - f_vec, u_at_t0 - u0_arr[:, None, None]
+
+
+def _losses(phi: PINOPhi, prob: ODEProblem, p, t, theta):
+    """physics + IC loss at trainset (p, t) (reference:
+    src/pino_ode_solve.jl:106-196)."""
+    r_phys, r_ic = _residuals(phi, prob, p, t, theta)
+    return jnp.mean(r_phys ** 2) + jnp.mean(r_ic ** 2)
 
 
 @dataclass

@@ -42,17 +42,30 @@ class DeepRitz:
 
     * chain: trial-function Module (or list for multioutput systems)
     * energy: symbolic energy density e(x, u, ∇u, …) — an `Expr`
+    * boundary_energies: iterable of boundary-integral energy densities —
+      Exprs whose dependent-variable calls pin one (or more) coordinates to
+      a boundary value, e.g. ``0.5*alpha*u(1.0, y)**2 - g(y)*u(1.0, y)``
+      for a Robin condition ``∂u/∂n + alpha·u = g`` on the face x=1.  Each
+      contributes ``|Γ|·mean(e_b)`` over its face; Robin and inhomogeneous
+      natural (Neumann) conditions then emerge from energy minimization
+      with NO boundary equation and no penalty weight to tune (E & Yu 2018
+      §2.3; the natural-BC generalization).
     * strategy: GridTraining (deterministic mean) or StochasticTraining
       (fresh uniform Monte-Carlo points per step); default
       StochasticTraining(4096)
-    * bc_weight: penalty weight β on every boundary loss
+    * bc_weight: penalty weight β on every (essential/Dirichlet) boundary
+      loss that remains as an equation
     * kwargs forwarded to PhysicsInformedNN (dtype, seed, derivative, ...)
     """
 
-    def __init__(self, chain, energy: Expr, *, strategy=None,
-                 bc_weight: float = 500.0, **kwargs):
+    def __init__(self, chain, energy: Expr, *, boundary_energies=(),
+                 strategy=None, bc_weight: float = 500.0, **kwargs):
         if not isinstance(energy, Expr):
             raise TypeError("energy must be a symbolic Expr")
+        self.boundary_energies = tuple(boundary_energies)
+        for b in self.boundary_energies:
+            if not isinstance(b, Expr):
+                raise TypeError("boundary_energies must be symbolic Exprs")
         if kwargs.get("adaptive_loss") is not None:
             raise ValueError(
                 "DeepRitz does not support adaptive_loss: the Ritz objective "
@@ -83,11 +96,7 @@ def discretize_ritz(pde_system: PDESystem, alg: DeepRitz) -> TrainingProblem:
     bc_loss_fns = pinnrep.loss_functions.bc_loss_functions
     dtype = pinnrep.dtype
 
-    # --- energy term: lower e with the same machinery as any residual -----
-    energy_eq = Eq(alg.energy, 0.0)
-    args = get_argument(energy_eq, pinnrep.depvars)
-    syms = [a for a in args if isinstance(a, Sym)]
-    ctx_layout = [a if isinstance(a, Sym) else None for a in args]
+    # --- energy terms: lower with the same machinery as any residual ------
     from ..compile.lower import LoweringContext
 
     phis = pinnrep.phi if pinnrep.multioutput else [pinnrep.phi]
@@ -97,40 +106,62 @@ def discretize_ritz(pde_system: PDESystem, alg: DeepRitz) -> TrainingProblem:
         phis=[p.apply for p in phis], multioutput=pinnrep.multioutput,
         derivative=pinnrep.derivative, eq_params=pinnrep.eq_params,
         param_estim=pinnrep.param_estim)
-    e_fn = build_residual_function(energy_eq, ctx_layout, ctx,
-                                   pinnrep.default_p)
 
     spans = {d.variables.name: (float(infimum(d.domain)),
                                 float(supremum(d.domain)))
              for d in pde_system.domains}
-    for s in syms:
-        if s.name not in spans:
-            raise ValueError(f"energy variable {s.name!r} has no domain")
-    volume = float(np.prod([spans[s.name][1] - spans[s.name][0]
-                            for s in syms])) if syms else 1.0
 
-    if isinstance(alg.strategy, GridTraining):
-        sets = generate_training_sets(pde_system.domains, alg.strategy.dx,
-                                      [args], dtype)
-        e_nodes = jnp.asarray(sets[0])
+    def make_energy_term(expr: Expr, tag: int):
+        """``|domain of free syms| · mean(e)``; boundary terms pin
+        coordinates inside their depvar calls, so their free-sym measure is
+        the FACE measure |Γ| (a fully pinned face is a point, measure 1)."""
+        energy_eq = Eq(expr, 0.0)
+        args = get_argument(energy_eq, pinnrep.depvars)
+        syms = [a for a in args if isinstance(a, Sym)]
+        layout = [a if isinstance(a, Sym) else None for a in args]
+        e_fn = build_residual_function(energy_eq, layout, ctx,
+                                       pinnrep.default_p)
+        for s in syms:
+            if s.name not in spans:
+                raise ValueError(f"energy variable {s.name!r} has no domain")
+        volume = float(np.prod([spans[s.name][1] - spans[s.name][0]
+                                for s in syms])) if syms else 1.0
 
-        def energy_loss(theta, key):
-            del key
-            return volume * jnp.mean(e_fn(e_nodes, theta))
-    else:
-        lb = jnp.asarray([spans[s.name][0] for s in syms], dtype)
-        ub = jnp.asarray([spans[s.name][1] for s in syms], dtype)
-        n_pts = alg.strategy.points
+        if isinstance(alg.strategy, GridTraining):
+            sets = generate_training_sets(pde_system.domains,
+                                          alg.strategy.dx, [args], dtype)
+            nodes = jnp.asarray(sets[0])
 
-        def energy_loss(theta, key):
-            pts = sampling.uniform_random(key, n_pts, lb, ub, dtype=dtype)
-            return volume * jnp.mean(e_fn(pts, theta))
+            def term(theta, key):
+                del key
+                return volume * jnp.mean(e_fn(nodes, theta))
+        else:
+            lo = [spans[a.name][0] if isinstance(a, Sym) else float(a)
+                  for a in args]
+            hi = [spans[a.name][1] if isinstance(a, Sym) else float(a)
+                  for a in args]
+            lb = jnp.asarray(lo, dtype)
+            ub = jnp.asarray(hi, dtype)
+            n_pts = alg.strategy.points
+
+            def term(theta, key):
+                pts = sampling.uniform_random(jax.random.fold_in(key, tag),
+                                              n_pts, lb, ub, dtype=dtype)
+                return volume * jnp.mean(e_fn(pts, theta))
+
+        return term, e_fn
+
+    energy_loss, e_fn = make_energy_term(alg.energy, 0)
+    boundary_terms = [make_energy_term(b, 10 + i)[0]
+                      for i, b in enumerate(alg.boundary_energies)]
 
     bc_w = alg.bc_weight
 
     def full_loss(theta, lstate):
         key = lstate["key"]
         e_val = energy_loss(theta, jax.random.fold_in(key, 0))
+        for term in boundary_terms:
+            e_val = e_val + term(theta, jax.random.fold_in(key, 2))
         bc_keys = jax.random.split(jax.random.fold_in(key, 1), max(n_bc, 1))
         bc_losses = (jnp.stack([f(theta, k) for f, k
                                 in zip(bc_loss_fns, bc_keys)]) if n_bc

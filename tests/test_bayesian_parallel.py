@@ -119,3 +119,75 @@ def test_pde_nchains_vmapped():
     for s in sols:
         assert s.original.samples.shape[0] == 80
         assert np.all(np.isfinite(np.asarray(s.ensemblesol[0].mean)))
+
+
+class TestDiagnostics:
+    """ESS + split-R̂ (VERDICT r2 item 7 — the reference gets these from
+    MCMCChains summaries)."""
+
+    def test_calibration_on_analytic_posterior(self):
+        """Multi-chain split-R̂ < 1.01 and healthy ESS on a Gaussian target
+        the sampler solves exactly."""
+        from neuralpde_tpu import ess, split_rhat
+
+        ld = _gauss_logdensity(1.0, 0.5)
+        q0s = jnp.stack([jnp.zeros(3), jnp.ones(3), -jnp.ones(3),
+                         2.0 * jnp.ones(3)])
+        samples = hmc.sample_chains(ld, q0s, jax.random.key(2), 900,
+                                    kernel="nuts")
+        tail = np.asarray(samples[:, 600:, :])    # post-warmup
+        r = split_rhat(tail)
+        assert r.shape == (3,)
+        assert np.all(r < 1.01), r
+        e = ess(tail)
+        assert e.shape == (3,)
+        assert np.all(e > 500), e                  # 4x300 draws, NUTS mixes
+        # iid reference: the estimator itself is calibrated
+        rng = np.random.default_rng(0)
+        assert np.all(np.abs(split_rhat(rng.normal(size=(4, 300, 3))) - 1.0)
+                      < 0.01)
+
+    def test_rhat_flags_nonconvergence(self):
+        """Two chains stuck at different values must give a huge R̂."""
+        from neuralpde_tpu import split_rhat
+
+        rng = np.random.default_rng(0)
+        a = rng.normal(0.0, 0.1, size=(1, 200, 2))
+        b = rng.normal(5.0, 0.1, size=(1, 200, 2))
+        r = split_rhat(np.concatenate([a, b], axis=0))
+        assert np.all(r > 2.0), r
+
+    def test_ess_detects_autocorrelation(self):
+        """An AR(1) chain with high autocorrelation has ESS << draws; white
+        noise has ESS ~ draws."""
+        from neuralpde_tpu import ess
+
+        rng = np.random.default_rng(1)
+        n = 2000
+        white = rng.normal(size=(n, 1))
+        ar = np.empty(n)
+        ar[0] = 0.0
+        for i in range(1, n):
+            ar[i] = 0.95 * ar[i - 1] + rng.normal() * np.sqrt(1 - 0.95**2)
+        e_white = float(ess(white)[0])
+        e_ar = float(ess(ar[:, None])[0])
+        assert e_white > 0.5 * n, e_white
+        assert e_ar < 0.15 * n, e_ar
+        # theory: ESS_AR(1) ≈ n(1-φ)/(1+φ) ≈ n/39
+        assert abs(e_ar - n / 39.0) < n / 39.0 * 1.5, e_ar
+
+    def test_sample_result_and_bpinn_solution_expose_diagnostics(self):
+        from neuralpde_tpu import mlp, solve_bnnode, BNNODE
+        from neuralpde_tpu.solvers.problems import ODEProblem
+
+        ld = _gauss_logdensity(0.0, 1.0)
+        res = hmc.sample(ld, jnp.zeros(2), jax.random.key(3), 300)
+        d = res.diagnostics()
+        assert set(d) == {"ess", "split_rhat", "mean", "std"}
+        assert d["ess"].shape == (2,) and np.all(np.isfinite(d["ess"]))
+
+        prob = ODEProblem(lambda u, p, t: -u, 1.0, (0.0, 1.0))
+        sol = solve_bnnode(prob, BNNODE(mlp([1, 4, 1]), draw_samples=80,
+                                        numensemble=20))
+        db = sol.diagnostics()
+        assert "split_rhat" in db and np.all(np.isfinite(db["split_rhat"]))

@@ -180,20 +180,76 @@ def test_get_numeric_integral_adaptive_matches_static():
                                rtol=1e-6, atol=1e-8)
 
 
-def test_get_numeric_integral_adaptive_rejects_nd():
+def test_adaptive_quad_nd_peaked_gaussian():
+    """∫∫_[0,1]² e^{-50|x-c|²} — sharply peaked: a coarse static tensor rule
+    misses it, the h-adaptive box cubature resolves it (VERDICT r2 item 5:
+    n-D runtime-adaptive evaluation parity with CubatureJLh)."""
+    from neuralpde_tpu.ops.quadrature import adaptive_quad_nd
+
+    from math import erf
+
+    a = 50.0
+    f1 = np.sqrt(np.pi / a) * erf(np.sqrt(a) * 0.5)   # ∫₀¹ e^{-a(x-.5)²}dx
+    want = f1 * f1
+
+    def f(nodes):
+        r2 = (nodes[0] - 0.5) ** 2 + (nodes[1] - 0.5) ** 2
+        return np.exp(-a * r2)
+
+    # coarse static rule (one order-4 tensor panel) is far off
+    static_nodes, static_w = tensor_rule_box([0, 0], [1, 1], 2, 1)
+    coarse = float((f(static_nodes) * static_w).sum())
+    assert abs(coarse - want) > 1e-3
+
+    val, err = adaptive_quad_nd(f, [0.0, 0.0], [1.0, 1.0], reltol=1e-9,
+                                abstol=1e-12, maxiters=4000)
+    assert abs(float(val) - want) < 1e-8, (float(val), want)
+    assert err < 1e-6
+
+
+def test_adaptive_quad_nd_tolerance_and_budget():
+    from neuralpde_tpu.ops.quadrature import adaptive_quad_nd
+
+    f = lambda n: np.sin(20.0 * n[0]) * np.cos(20.0 * n[1])
+    _, e_loose = adaptive_quad_nd(f, [0, 0], [1, 1], reltol=1e-1, abstol=1e-1)
+    _, e_tight = adaptive_quad_nd(f, [0, 0], [1, 1], reltol=1e-10,
+                                  abstol=1e-10, maxiters=4000)
+    assert e_tight < e_loose
+    boxes = []
+
+    def g(n):
+        boxes.append(n.shape[1])
+        return np.sin(400.0 * n[0])
+
+    adaptive_quad_nd(g, [0, 0], [1, 1], reltol=1e-14, abstol=1e-14,
+                     maxiters=9)
+    assert len(boxes) <= 2 * 9 + 2
+
+
+def test_get_numeric_integral_adaptive_2d():
+    """2-D adaptive evaluation through the lowering surface: ∫∫ u(x)·u(y)
+    ds dt over a parametric box [0,x]² — validated against the dense static
+    tensor rule (the reference's 2-input IDE shape, test/IntegroDiff)."""
     from neuralpde_tpu.compile.lower import LoweringContext, get_numeric_integral
     from neuralpde_tpu.symbolic.expr import IntegralExpr
 
-    x, y = symbols("x y")
+    x = symbols("x")
+    s, t = symbols("s t")
     u = DepVar("u")
-    prob, disc = _osc_problem(QuadratureTraining(order=4, panels=1))
+    prob, disc = _osc_problem(QuadratureTraining(order=8, panels=2))
     pinnrep = prob.pinnrep
     ctx = LoweringContext(
         depvars=pinnrep.depvars, indvars=pinnrep.indvars,
         dict_depvar_input=pinnrep.dict_depvar_input,
         phis=[disc.phi.apply], multioutput=False,
-        derivative=pinnrep.derivative)
-    expr = IntegralExpr(u(x), (x, y), (0.0, 0.0), (1.0, 1.0))
-    with pytest.raises(ValueError, match="1-D"):
-        get_numeric_integral(ctx, adaptive=True)(
-            expr, jnp.ones((1, 3)), prob.init_params, [x])
+        derivative=pinnrep.derivative, integral_order=24, integral_panels=4)
+    expr = IntegralExpr(u(s) * u(t), (s, t), (0.0, 0.0), (x, x))
+    theta = prob.init_params
+    cord = jnp.asarray(np.linspace(0.2, 1.0, 5)[None, :])
+
+    static = get_numeric_integral(ctx)(expr, cord, theta, [x])
+    adaptive = get_numeric_integral(ctx, adaptive=True, reltol=1e-9,
+                                    abstol=1e-10, maxiters=4000)(
+        expr, cord, theta, [x])
+    np.testing.assert_allclose(np.asarray(adaptive), np.asarray(static),
+                               rtol=1e-5, atol=1e-8)
