@@ -13,8 +13,11 @@ src/pinn_types.jl:421-458).  All contraction FLOPs are MXU matmuls; the only
 ``N^d``-sized arrays are the residual grids themselves.
 
 Selected by the `SeparableTraining` strategy; every chain must be a
-`neuralpde_tpu.nn.SeparableNet`.  Integro-differential terms are not
-supported on this fast path (use the dense strategies).
+`neuralpde_tpu.nn.SeparableNet`.  Integro-differential terms with constant
+(or infinite — transformed) bounds factorize too: each integration variable
+becomes a temporary quadrature grid axis that is contracted away
+(`_integral_grid`); only bounds that reference grid axes need a dense
+strategy.
 """
 
 from __future__ import annotations
@@ -165,10 +168,59 @@ def _gev(expr: Expr, env: dict, theta, p, gctx: _GridContext):
             orders[slot] = orders.get(slot, 0) + 1
         return _depvar_grid(target, orders, env, theta, p, gctx)
     if isinstance(expr, IntegralExpr):
-        raise NotImplementedError(
-            "integro-differential terms are not supported by the separable "
-            "fast path; use GridTraining/StochasticTraining/QuadratureTraining")
+        return _integral_grid(expr, env, theta, p, gctx)
     raise TypeError(f"cannot lower {type(expr).__name__}")
+
+
+def _integral_grid(expr: IntegralExpr, env, theta, p, gctx: _GridContext):
+    """Integral terms on the factorized grid: each integration variable
+    becomes a TEMPORARY extra grid axis of static Gauss-Legendre nodes, the
+    integrand evaluates through the same factorized machinery on the
+    extended tensor grid, and the quadrature contraction removes the extra
+    axes again.  Constant (or infinite — transformed) bounds only; bounds
+    referencing grid axes couple axes and need a dense strategy."""
+    from ..ops.quadrature import composite_gl_unit
+    from .transform_inf import transform_inf_integral
+
+    expr = transform_inf_integral(expr)
+    if any(isinstance(b, Expr) and not isinstance(b, Num)
+           for b in expr.lb + expr.ub):
+        raise NotImplementedError(
+            "integro-differential terms with symbolic/parametric bounds are "
+            "not supported on the separable fast path (the bound couples "
+            "grid axes); use GridTraining/StochasticTraining/"
+            "QuadratureTraining")
+    lbs = [b.value if isinstance(b, Num) else float(b) for b in expr.lb]
+    ubs = [b.value if isinstance(b, Num) else float(b) for b in expr.ub]
+    nu, wu = composite_gl_unit(gctx.ctx.integral_order,
+                               gctx.ctx.integral_panels)
+    m = len(expr.ivars)
+    k0 = gctx.k
+
+    env2 = {}
+    for name, v in env.items():
+        arr = jnp.asarray(v)
+        if arr.ndim:
+            arr = arr.reshape(arr.shape + (1,) * m)
+        env2[name] = arr
+    nodes2 = list(gctx.nodes)
+    for d, iv in enumerate(expr.ivars):
+        qn = jnp.asarray(lbs[d] + (ubs[d] - lbs[d]) * nu, gctx.dtype)
+        nodes2.append(qn)
+        shape = [1] * (k0 + m)
+        shape[k0 + d] = qn.shape[0]
+        env2[iv.name] = qn.reshape(shape)
+
+    gctx2 = _GridContext(ctx=gctx.ctx, nets=gctx.nets, nodes=nodes2,
+                         k=k0 + m, dtype=gctx.dtype)
+    val = jnp.asarray(_gev(expr.integrand, env2, theta, p, gctx2))
+    if val.ndim == 0:
+        val = val.reshape((1,) * (k0 + m))
+    val = jnp.broadcast_to(val, tuple(n.shape[0] for n in nodes2))
+    w = jnp.asarray(wu, gctx.dtype)
+    for d in reversed(range(m)):
+        val = jnp.sum(val * w, axis=-1) * (ubs[d] - lbs[d])
+    return val
 
 
 def _expr_residual(expr: Expr, axes, ctx: LoweringContext, nets: dict, dtype,

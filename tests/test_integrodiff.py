@@ -3,8 +3,12 @@ exercising IntegralExpr lowering: parametric bounds, multi-dim integrals,
 infinite-domain transforms (component C13)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import optax
+import pytest
+
+import neuralpde_tpu as npde
 
 from neuralpde_tpu import (
     DepVar, Differential, Domain, Eq, GridTraining, Integral, Interval,
@@ -223,3 +227,168 @@ def test_iterated_integral_parametric_inner_bound():
     pred = np.asarray(disc.phi(cord, res.u["depvar"])[0])
     want = (X + Y**2).ravel()
     assert np.mean((pred - want) ** 2) < 0.02
+
+
+class TestSeparableIntegrals:
+    """Integro-differential terms on the factorized (SPINN) fast path
+    (r3; VERDICT r2 missing item 4): constant-bound integration variables
+    become temporary quadrature grid axes."""
+
+    def test_parity_with_dense_lowering(self):
+        from neuralpde_tpu import DerivativeEngine, separable_mlp
+        from neuralpde_tpu.compile.lower import (
+            LoweringContext, build_residual_function,
+        )
+        from neuralpde_tpu.compile.separable import build_separable_residual
+
+        x, t, s = symbols("x t s")
+        u = DepVar("u")
+        Dt = Differential(t)
+        # u_t(x,t) + u(x,t) = ∫₀¹ u(s,t) ds  (nonlocal coupling in x)
+        eq = Eq(Dt(u(x, t)) + u(x, t), Integral(s, 0.0, 1.0)(u(s, t)))
+        net = separable_mlp(2, (12,), 6)
+        theta = {"depvar": net.init(jax.random.key(0))}
+        ctx = LoweringContext(
+            depvars=["u"], indvars=["x", "t"],
+            dict_depvar_input={"u": ["x", "t"]},
+            phis=[net.apply], multioutput=False,
+            derivative=DerivativeEngine("jvp"),
+            integral_order=16, integral_panels=2)
+        res, axes = build_separable_residual(eq, ctx, {"u": net},
+                                             jnp.float64)
+        assert [a.name for a in axes] == ["x", "t"]
+        xs = np.linspace(0, 1, 7)
+        tsv = np.linspace(0, 1, 5)
+        grid_r = res([xs, tsv], theta)
+        dense = build_residual_function(eq, [x, t], ctx)
+        X, T = np.meshgrid(xs, tsv, indexing="ij")
+        dense_r = dense(jnp.asarray(np.stack([X.ravel(), T.ravel()])),
+                        theta).reshape(7, 5)
+        np.testing.assert_allclose(np.asarray(grid_r), np.asarray(dense_r),
+                                   rtol=1e-9, atol=1e-11)
+
+    def test_nonlinear_integrand_and_infinite_bounds(self):
+        from neuralpde_tpu import DerivativeEngine, separable_mlp
+        from neuralpde_tpu.compile.lower import (
+            LoweringContext, build_residual_function,
+        )
+        from neuralpde_tpu.compile.separable import build_separable_residual
+
+        x, s = symbols("x s")
+        u = DepVar("u")
+        # nonlinear integrand (u² is not separable — the grid evaluator
+        # handles it) + an infinite bound (transformed internally)
+        eq = Eq(u(x), Integral(s, 0.0, np.inf)(
+            npde.exp(-(s ** 2)) * u(s) ** 2))
+        net = separable_mlp(1, (10,), 4)
+        theta = {"depvar": net.init(jax.random.key(1))}
+        ctx = LoweringContext(
+            depvars=["u"], indvars=["x"], dict_depvar_input={"u": ["x"]},
+            phis=[net.apply], multioutput=False,
+            derivative=DerivativeEngine("jvp"),
+            integral_order=24, integral_panels=4)
+        res, _ = build_separable_residual(eq, ctx, {"u": net}, jnp.float64)
+        xs = np.linspace(0, 1, 9)
+        dense = build_residual_function(eq, [x], ctx)
+        np.testing.assert_allclose(
+            np.asarray(res([xs], theta)),
+            np.asarray(dense(jnp.asarray(xs)[None, :], theta)),
+            rtol=1e-8, atol=1e-10)
+
+    def test_separable_ide_trains_to_analytic(self):
+        """u'(x) = x − ∫₀¹ u(s) ds, u(0)=0  ⇒  u = x²/2 − x/9 (the mean
+        couples every point — solved end-to-end on the fast path)."""
+        import optax
+
+        from neuralpde_tpu import (
+            PhysicsInformedNN, SeparableTraining, discretize, separable_mlp,
+            solve,
+        )
+
+        x, s = symbols("x s")
+        u = DepVar("u")
+        Dx = Differential(x)
+        eq = Eq(Dx(u(x)), x - Integral(s, 0.0, 1.0)(u(s)))
+        sys = PDESystem(eq, [Eq(u(0.0), 0.0)],
+                        [Domain(x, Interval(0, 1))], [x], [u(x)])
+        disc = PhysicsInformedNN(separable_mlp(1, (16, 16), 8),
+                                 SeparableTraining(dx=1 / 64),
+                                 integral_order=16, integral_panels=2)
+        prob = discretize(sys, disc)
+        res = solve(prob, optax.adam(3e-3), maxiters=3000, inner_steps=50)
+        xs = np.linspace(0, 1, 51)
+        pred = np.asarray(prob.pinnrep.phi(jnp.asarray(xs)[None, :],
+                                           res.u["depvar"])[0])
+        want = xs ** 2 / 2 - xs / 9
+        assert float(np.max(np.abs(pred - want))) < 5e-3
+
+    def test_parametric_bounds_still_rejected(self):
+        from neuralpde_tpu import DerivativeEngine, separable_mlp
+        from neuralpde_tpu.compile.lower import LoweringContext
+        from neuralpde_tpu.compile.separable import build_separable_residual
+
+        x, s = symbols("x s")
+        u = DepVar("u")
+        eq = Eq(u(x), Integral(s, 0.0, x)(u(s)))
+        net = separable_mlp(1, (8,), 4)
+        ctx = LoweringContext(
+            depvars=["u"], indvars=["x"], dict_depvar_input={"u": ["x"]},
+            phis=[net.apply], multioutput=False,
+            derivative=DerivativeEngine("jvp"))
+        res, _ = build_separable_residual(eq, ctx, {"u": net}, jnp.float64)
+        with pytest.raises(NotImplementedError, match="parametric"):
+            res([np.linspace(0, 1, 5)],
+                {"depvar": net.init(jax.random.key(2))})
+
+
+class TestLeibniz:
+    """Derivative-of-integral lowering (r3; VERDICT r2 missing item 2):
+    symbolic Leibniz rule in expand_derivatives/symbolic_diff."""
+
+    def test_fundamental_theorem(self):
+        # d/dx ∫₀ˣ u(s) ds = u(x)
+        from neuralpde_tpu.symbolic.expr import expand_derivatives
+
+        x, s = symbols("x s")
+        u = DepVar("u")
+        expr = Differential(x)(Integral(s, 0.0, x)(u(s)))
+        out = expand_derivatives(expr)
+        assert repr(out) == "u(x)", repr(out)
+
+    def test_integrand_dependence_and_bound_terms_numeric(self):
+        """d/dx [x·∫₀¹ u(s) ds + ∫₀ˣ s·u(s) ds] = ∫₀¹ u(s) ds + x·u(x) —
+        validated numerically through the dense evaluator vs finite
+        differences of the undifferentiated expression."""
+        from neuralpde_tpu import DerivativeEngine, mlp
+        from neuralpde_tpu.compile.lower import (
+            LoweringContext, build_residual_function,
+        )
+        from neuralpde_tpu.symbolic.expr import expand_derivatives
+
+        x, s = symbols("x s")
+        u = DepVar("u")
+        base = (x * Integral(s, 0.0, 1.0)(u(s))
+                + Integral(s, 0.0, x)(s * u(s)))
+        net = mlp([1, 12, 1])
+        theta = {"depvar": net.init(jax.random.key(3))}
+        ctx = LoweringContext(
+            depvars=["u"], indvars=["x"], dict_depvar_input={"u": ["x"]},
+            phis=[net.apply], multioutput=False,
+            derivative=DerivativeEngine("jvp"),
+            integral_order=24, integral_panels=4)
+        d_expr = expand_derivatives(Differential(x)(base))
+        f_d = build_residual_function(Eq(d_expr, 0.0), [x], ctx)
+        f_0 = build_residual_function(Eq(base, 0.0), [x], ctx)
+        xs = jnp.linspace(0.2, 0.8, 7)[None, :]
+        h = 1e-5
+        fd = (f_0(xs + h, theta) - f_0(xs - h, theta)) / (2 * h)
+        np.testing.assert_allclose(np.asarray(f_d(xs, theta)),
+                                   np.asarray(fd), rtol=1e-4, atol=1e-7)
+
+    def test_dummy_variable_derivative_is_zero(self):
+        from neuralpde_tpu.symbolic.expr import Num, symbolic_diff
+
+        x, s = symbols("x s")
+        u = DepVar("u")
+        out = symbolic_diff(Integral(s, 0.0, 1.0)(u(s)), s)
+        assert isinstance(out, Num) and out.value == 0.0
