@@ -275,6 +275,15 @@ class SeparableTraining(TrainingStrategy):
       same eps value means different things — here ``eps =
       causal_training_eps / Δt`` for matched slabbing.
 
+    * ``rad_candidates`` (resampling mode only): residual-adaptive AXIS
+      sampling — each step draws that many uniform candidates per axis,
+      evaluates the (gradient-blocked) residual on the candidate tensor
+      grid, and categorical-resamples the ``points`` axis nodes from the
+      per-axis marginals ``mean_other|r|^rad_k + rad_c·mean`` (the
+      factorized analog of `ResidualAdaptiveTraining`'s RAD scheme —
+      beyond reference).  Nodes concentrate where the residual mass lives
+      along each axis; BCs keep plain uniform resampling.
+
     Builds its own factorized losses directly from the symbolic equations;
     the pointwise datafree closures remain available on the representation
     for parity checks.  `PhysicsInformedNN(gradient_enhanced=w)` lowers
@@ -284,17 +293,25 @@ class SeparableTraining(TrainingStrategy):
     """
 
     def __init__(self, dx=None, *, points=None, resample: bool = False,
-                 causal=None, causal_eps: float = 1.0):
+                 causal=None, causal_eps: float = 1.0,
+                 rad_candidates: int | None = None, rad_k: float = 1.0,
+                 rad_c: float = 1.0):
         if (dx is None) == (points is None):
             raise ValueError("give exactly one of dx= or points=")
         if points is not None and not resample:
             raise ValueError("points= requires resample=True (use dx= for a "
                              "static grid)")
+        if rad_candidates is not None and points is None:
+            raise ValueError("rad_candidates= needs the resampling mode "
+                             "(points=..., resample=True)")
         self.dx = dx
         self.points = points
         self.resample = resample
         self.causal = (causal.name if isinstance(causal, Sym) else causal)
         self.causal_eps = causal_eps
+        self.rad_candidates = rad_candidates
+        self.rad_k = rad_k
+        self.rad_c = rad_c
         self._weight_fns = []
 
     def build(self, pinnrep, datafree_pde, datafree_bc):
@@ -425,24 +442,67 @@ class SeparableTraining(TrainingStrategy):
                         ns[0] = shard_axis_nodes(ns[0])
                     return ns
 
+            use_rad = (static_nodes is None and self.rad_candidates
+                       and allow_causal and axes)
+            if use_rad:
+                n_cand = int(self.rad_candidates)
+                rad_k, rad_c = float(self.rad_k), float(self.rad_c)
+                bounds_r = [spans[a.name] for a in axes]
+                offset = 1 if stacked else 0
+
+                def nodes_of(key, theta, bounds=bounds_r, eq_tag=eq_tag,
+                             t_axis=t_axis, residual=residual):
+                    # axis-factorized RAD (beyond reference; the per-axis
+                    # marginalization of the RAD scheme in
+                    # ResidualAdaptiveTraining): candidate tensor grid ->
+                    # |r|^k marginals per axis -> categorical per-axis
+                    # resample, all gradient-blocked and in-graph
+                    kb = jax.random.fold_in(key, eq_tag)
+                    cand = []
+                    for i, (lb, ub) in enumerate(bounds):
+                        k = jax.random.fold_in(jax.random.fold_in(kb, 7), i)
+                        cand.append(lb + (ub - lb) * jax.random.uniform(
+                            k, (n_cand,), dtype))
+                    r = jax.lax.stop_gradient(residual(cand, theta))
+                    w = jnp.abs(r) ** rad_k
+                    ns = []
+                    for i in range(len(bounds)):
+                        other = tuple(d for d in range(w.ndim)
+                                      if d != i + offset)
+                        marg = jnp.mean(w, axis=other) if other else w
+                        marg = marg + rad_c * jnp.mean(marg)
+                        ki = jax.random.fold_in(jax.random.fold_in(kb, 8), i)
+                        idx = jax.random.categorical(
+                            ki, jnp.log(marg + 1e-30), shape=(self.points,))
+                        draw = cand[i][idx]
+                        if i == t_axis:
+                            draw = jnp.sort(draw)
+                        ns.append(draw)
+                    ns[0] = shard_axis_nodes(ns[0])
+                    return ns
+            else:
+                def nodes_of(key, theta, make_nodes=make_nodes):
+                    del theta
+                    return make_nodes(key)
+
             if t_pos is None:
-                def loss(theta, key, residual=residual, make_nodes=make_nodes):
-                    return _msq(residual(make_nodes(key), theta), acc)
+                def loss(theta, key, residual=residual, nodes_of=nodes_of):
+                    return _msq(residual(nodes_of(key, theta), theta), acc)
             else:
                 lo, hi = spans[self.causal]
                 n_t = (len(static_nodes[self.causal])
                        if static_nodes is not None else self.points)
                 dt = (hi - lo) / max(n_t - 1, 1)
 
-                def loss(theta, key, residual=residual, make_nodes=make_nodes,
+                def loss(theta, key, residual=residual, nodes_of=nodes_of,
                          t_pos=t_pos, dt=dt):
-                    return causal_reduce(residual(make_nodes(key), theta),
+                    return causal_reduce(residual(nodes_of(key, theta), theta),
                                          t_pos, dt)[0]
 
                 self._weight_fns.append(
                     lambda theta, key, residual=residual,
-                    make_nodes=make_nodes, t_pos=t_pos, dt=dt:
-                    causal_reduce(residual(make_nodes(key), theta),
+                    nodes_of=nodes_of, t_pos=t_pos, dt=dt:
+                    causal_reduce(residual(nodes_of(key, theta), theta),
                                   t_pos, dt)[1])
             return loss
 
