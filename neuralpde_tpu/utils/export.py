@@ -14,15 +14,22 @@ from jax import export as jax_export
 
 
 def export_phi(phi, params, in_dim: int, *, batch: int | None = None,
-               dtype=jnp.float32):
+               dtype=jnp.float32, matmul_precision: str | None = "highest"):
     """Export `phi(cord, params)` with params baked in.
 
     ``batch=None`` exports with a dynamic batch dimension (symbolic shape);
     otherwise a fixed (in_dim, batch) signature.  Returns the serialized
-    bytes and a `call(cord)` convenience wrapper."""
+    bytes and a `call(cord)` convenience wrapper.
 
+    ``matmul_precision`` stamps the exported dots' precision at trace time
+    (default "highest": true-f32 MXU passes — bf16-pass inference floors
+    predictions at ~1e-3 relative, PERF.md r3; None inherits the ambient
+    setting)."""
     def fn(cord):
-        return phi(cord, params)
+        if matmul_precision is None:
+            return phi(cord, params)
+        with jax.default_matmul_precision(matmul_precision):
+            return phi(cord, params)
 
     if batch is None:
         n = jax_export.symbolic_shape("n")[0]

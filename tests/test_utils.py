@@ -204,3 +204,25 @@ def test_solve_stops_on_divergence():
         res = tsolve(prob, optax.adam(0.1), maxiters=500)
     assert res.iterations < 500
     assert any("diverged" in str(r.message) for r in rec)
+
+
+def test_export_stamps_matmul_precision():
+    """export_phi defaults to true-f32 dot precision in the exported
+    StableHLO (bf16-pass inference floors at ~1e-3 relative, PERF.md r3)."""
+    from neuralpde_tpu import mlp
+    from neuralpde_tpu.compile.discretize import Phi
+    from neuralpde_tpu.utils.export import export_phi
+
+    net = mlp([2, 8, 1])
+    phi = Phi(net)
+    params = jax.tree.map(lambda a: a.astype(jnp.float32),
+                          net.init(jax.random.key(0)))
+    blob, call = export_phi(phi, params, 2, batch=4)
+    from jax import export as jax_export
+
+    text = str(jax_export.deserialize(blob).mlir_module())
+    assert "HIGHEST" in text
+    blob0, _ = export_phi(phi, params, 2, batch=4, matmul_precision=None)
+    assert "HIGHEST" not in str(jax_export.deserialize(blob0).mlir_module())
+    out = call(jnp.ones((2, 4), jnp.float32))
+    assert np.asarray(out).shape == (1, 4)
