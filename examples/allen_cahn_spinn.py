@@ -97,7 +97,8 @@ def main():
     mp = "highest" if args.precision == "highest" else None
     theta = None
     t0 = time.perf_counter()
-    for eps, lr in [(100.0, 1e-3), (1e3, 5e-4), (1e4, 2e-4)]:
+    for eps, lr in [(100.0, 1e-3), (1e3, 5e-4), (1e4, 2e-4),
+                    (1e5, 1e-4)]:
         strat = SeparableTraining(dx=[dx, dt_], causal=t, causal_eps=eps)
         disc = PhysicsInformedNN(
             net, strat, dtype=jnp.float32, matmul_precision=mp,
