@@ -13,11 +13,15 @@ combining the three ingredients this framework provides:
      iterations are one jvp + one vjp each — second-order curvature at
      first-order per-iteration cost.
 
-Use float64: CG on the normal equations amplifies f32 rounding (measured
-in PERF.md — f32 stalls at ~2e-3).  These tiny grids make f64 cheap on
-any backend.
+Plain float32 works on TPU (r3): the GN drivers trace under
+`jax.default_matmul_precision("highest")` by default, so the old "f32
+stalls at ~2e-3" (which was the MXU's bf16-pass matmuls, not CG
+conditioning) is gone — measured rel L2 1.47e-5 in 13 s on one v5e chip
+with solver="lsqr", scalar_dtype=jnp.float64 (PERF.md).  This script uses
+f64 so it reproduces the same frontier bit-for-bit on any backend; pass
+--f32 for the TPU-native mixed-precision recipe.
 
-Run: python examples/gauss_newton_frontier.py
+Run: python examples/gauss_newton_frontier.py [--f32]
 """
 import time
 
@@ -34,7 +38,7 @@ from neuralpde_tpu import (
 )
 
 
-def main():
+def main(f32: bool = False):
     x, y = symbols("x y")
     u = DepVar("u")
     eq = Eq((Differential(x) ** 2)(u(x, y)) + (Differential(y) ** 2)(u(x, y)),
@@ -45,17 +49,21 @@ def main():
     hard = lambda c, o: c * (1 - c) * o
     net = SeparableNet([Transformed(mlp([1, 24, 24, 24]), hard)
                         for _ in range(2)])
+    dtype = jnp.float32 if f32 else jnp.float64
     prob = discretize(system, PhysicsInformedNN(
-        net, SeparableTraining(dx=1 / 32), dtype=jnp.float64))
+        net, SeparableTraining(dx=1 / 32), dtype=dtype))
 
+    kw = (dict(solver="lsqr", scalar_dtype=jnp.float64) if f32 else {})
     t0 = time.perf_counter()
-    res = solve_gauss_newton(prob, maxiters=200, cg_iters=200, verbose=False)
+    res = solve_gauss_newton(prob, maxiters=200, cg_iters=200,
+                             verbose=False, **kw)
     dt = time.perf_counter() - t0
 
     xs = np.linspace(0, 1, 101)
     X, Y = np.meshgrid(xs, xs, indexing="ij")
-    nodes = jnp.asarray(xs, jnp.float64)
-    u_pred = np.asarray(net.grid(res.params["depvar"], [nodes, nodes]))
+    nodes = jnp.asarray(xs, dtype)
+    with jax.default_matmul_precision("highest"):
+        u_pred = np.asarray(net.grid(res.params["depvar"], [nodes, nodes]))
     u_true = np.sin(np.pi * X) * np.sin(np.pi * Y) / (2 * np.pi**2)
     rel = np.linalg.norm(u_pred - u_true) / np.linalg.norm(u_true)
     print(f"GN: loss {res.objective:.3e} after {res.iterations} steps "
@@ -65,4 +73,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(f32="--f32" in sys.argv)
