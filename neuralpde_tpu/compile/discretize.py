@@ -34,10 +34,22 @@ class Phi:
     Call as ``phi(cord, params)`` with cord shaped (in_dim, N); returns
     (out_dim, N).  ``apply(params, cord)`` is the flipped-arg form used
     internally by the lowering.
+
+    ``matmul_precision`` (inherited from the discretization's
+    `PhysicsInformedNN(matmul_precision=...)`) makes EVALUATION run under
+    the same `jax.default_matmul_precision` as training — a bf16-pass
+    forward pass alone floors predictions at ~1e-3 relative (PERF.md r3).
     """
 
-    def __init__(self, module: Module):
+    def __init__(self, module: Module, matmul_precision: str | None = None):
         self.module = module
+        self.matmul_precision = matmul_precision
+
+    def _apply(self, params, cord):
+        if self.matmul_precision is None:
+            return self.module.apply(params, cord)
+        with jax.default_matmul_precision(self.matmul_precision):
+            return self.module.apply(params, cord)
 
     def __call__(self, cord, params):
         cord = jnp.asarray(cord)
@@ -45,10 +57,10 @@ class Phi:
             # single point given as a flat vector (the reference's
             # `phi([x, y], θ)` idiom) -> one column
             cord = cord[:, None]
-        return self.module.apply(params, cord)
+        return self._apply(params, cord)
 
     def apply(self, params, cord):
-        return self.module.apply(params, cord)
+        return self._apply(params, cord)
 
 
 class PhysicsInformedNN:
@@ -114,7 +126,10 @@ class PhysicsInformedNN:
         # comparable wall-clock.  None inherits the ambient precision.
         self.matmul_precision = matmul_precision
         chains = self.chain if self.multioutput else [self.chain]
-        self.phi = [Phi(c) for c in chains] if self.multioutput else Phi(self.chain)
+        # phi inherits the precision so user-facing EVALUATION matches the
+        # trained numerics (bf16-pass inference floors at ~1e-3, PERF.md)
+        self.phi = ([Phi(c, matmul_precision) for c in chains]
+                    if self.multioutput else Phi(self.chain, matmul_precision))
 
 
 class BayesianPINN(PhysicsInformedNN):

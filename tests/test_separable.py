@@ -666,3 +666,27 @@ class TestAxisRAD:
     def test_rad_requires_resampling_mode(self):
         with pytest.raises(ValueError, match="rad_candidates"):
             SeparableTraining(dx=0.1, rad_candidates=64)
+
+
+def test_phi_inherits_matmul_precision():
+    """PhysicsInformedNN(matmul_precision=...) flows into phi so user
+    evaluation runs under the same precision as training."""
+    x, y, u, eq = poisson_eq()
+    domains = [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))]
+    sys = PDESystem(eq, [], domains, [x, y], [u(x, y)])
+    disc = PhysicsInformedNN(separable_mlp(2, (8,), 4),
+                             SeparableTraining(dx=1 / 8),
+                             dtype=jnp.float32, matmul_precision="highest")
+    prob = discretize(sys, disc)
+    phi = prob.pinnrep.phi
+    assert phi.matmul_precision == "highest"
+    cord = jnp.ones((2, 3), jnp.float32)
+    hlo = jax.jit(lambda th: phi(cord, th["depvar"])).lower(
+        prob.init_params).as_text()
+    assert "HIGHEST" in hlo
+    disc0 = PhysicsInformedNN(separable_mlp(2, (8,), 4),
+                              SeparableTraining(dx=1 / 8), dtype=jnp.float32)
+    prob0 = discretize(sys, disc0)
+    hlo0 = jax.jit(lambda th: prob0.pinnrep.phi(cord, th["depvar"])).lower(
+        prob0.init_params).as_text()
+    assert "HIGHEST" not in hlo0
