@@ -52,7 +52,10 @@ def split_rhat(samples) -> np.ndarray:
     var_plus = (n - 1) / n * W + B / n
     with np.errstate(divide="ignore", invalid="ignore"):
         out = np.sqrt(var_plus / W)
-    return np.where(W > 0, out, 1.0)
+    # W == 0 is only "converged" when the chains are all stuck at the SAME
+    # value; distinct constant chains (B > 0) are the worst non-convergence
+    # and must report inf, as Stan does
+    return np.where(W > 0, out, np.where(B > 0, np.inf, 1.0))
 
 
 def ess(samples) -> np.ndarray:

@@ -178,7 +178,9 @@ class PDELogTargetDensity:
                 phis=[ph.apply for ph in phis_],
                 multioutput=self.multioutput,
                 derivative=pinnrep.derivative, eq_params=pinnrep.eq_params,
-                param_estim=pinnrep.param_estim)
+                param_estim=pinnrep.param_estim,
+                integral_order=getattr(pinnrep, "integral_order", 20),
+                integral_panels=getattr(pinnrep, "integral_panels", 1))
             dxs = (list(strategy.dx)
                    if isinstance(strategy.dx, (list, tuple))
                    else [strategy.dx] * len(pinnrep.domains))

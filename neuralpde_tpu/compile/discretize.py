@@ -190,6 +190,8 @@ class PINNRepresentation:
     loss_accum_dtype: Any = None
     remat: bool = False
     gradient_enhanced: float | None = None
+    integral_order: int = 20
+    integral_panels: int = 1
     log_options: LogOptions = field(default_factory=LogOptions)
     integral: Any = None
     symbolic_pde_loss_functions: list = field(default_factory=list)
@@ -315,6 +317,8 @@ def symbolic_discretize(pde_system: PDESystem,
         loss_accum_dtype=discretization.loss_accum_dtype,
         remat=discretization.remat,
         gradient_enhanced=discretization.gradient_enhanced,
+        integral_order=discretization.integral_order,
+        integral_panels=discretization.integral_panels,
         log_options=discretization.log_options,
     )
 

@@ -99,7 +99,9 @@ def build_residual_vector(pinnrep) -> Callable:
             dict_depvar_input=pinnrep.dict_depvar_input,
             phis=[p.apply for p in phis], multioutput=pinnrep.multioutput,
             derivative=pinnrep.derivative, eq_params=pinnrep.eq_params,
-            param_estim=pinnrep.param_estim)
+            param_estim=pinnrep.param_estim,
+            integral_order=getattr(pinnrep, "integral_order", 20),
+            integral_panels=getattr(pinnrep, "integral_panels", 1))
         dxs = (list(strategy.dx) if isinstance(strategy.dx, (list, tuple))
                else [strategy.dx] * len(pinnrep.domains))
         nodes_of = {d.variables.name: julia_range(
@@ -294,6 +296,10 @@ def lm_least_squares(r_fn: Callable, init_params, *, maxiters: int = 50,
     if scalar_dtype is not None and solver != "lsqr":
         raise ValueError("scalar_dtype (mixed-precision recurrence) requires "
                          "solver='lsqr'")
+    if precondition and solver == "lsqr":
+        raise ValueError("precondition=True is a CG-only option (LSQR is "
+                         "already better conditioned; use solver='cg' with "
+                         "precondition, or drop one of them)")
 
     def _prec():
         return (jax.default_matmul_precision(matmul_precision)
@@ -480,15 +486,23 @@ def trust_region_least_squares(r_fn: Callable, init_params, *,
         v_new, loss_new, pred, pnorm, hit = tr_step(
             v, jnp.asarray(delta, v.dtype))
         loss_new = float(loss_new)
-        ared = 0.5 * (loss - loss_new)   # actual reduction in the ½ metric
-        rho = ared / max(float(pred), 1e-300)
-        accepted = np.isfinite(loss_new) and rho > eta and loss_new < loss
-        if accepted:
-            v, loss = v_new, loss_new
-        if rho < 0.25:
-            delta = max(0.25 * float(pnorm), 1e-12)
-        elif rho > 0.75 and bool(hit):
-            delta = min(2.0 * delta, max_delta)
+        if not (np.isfinite(loss_new) and np.isfinite(float(pred))
+                and np.isfinite(float(pnorm))):
+            # NaN/Inf trial (radius overshot into a non-finite region):
+            # reject AND shrink, or the deterministic step would repeat
+            # identically for every remaining iteration
+            rho, accepted = -1.0, False
+            delta = max(0.25 * delta, 1e-12)
+        else:
+            ared = 0.5 * (loss - loss_new)  # actual reduction in ½ metric
+            rho = ared / max(float(pred), 1e-300)
+            accepted = rho > eta and loss_new < loss
+            if accepted:
+                v, loss = v_new, loss_new
+            if rho < 0.25:
+                delta = max(0.25 * float(pnorm), 1e-12)
+            elif rho > 0.75 and bool(hit):
+                delta = min(2.0 * delta, max_delta)
         it += 1
         history.append(loss)
         if verbose:
@@ -548,6 +562,12 @@ def build_ode_residual_vector(prob, alg, *, dt=None):
     if jnp.iscomplexobj(jnp.asarray(u0)):
         raise ValueError("Gauss-Newton residual vectors require real u "
                          "(complex ODEs: use solve_ode with Adam/L-BFGS)")
+    if alg.additional_loss is not None:
+        raise ValueError(
+            "Gauss-Newton cannot fold NNODE(additional_loss=...) into the "
+            "least-squares residual vector (||r||^2 would silently differ "
+            "from the trained objective) — stack your extra terms as "
+            "residual rows via lm_least_squares instead")
     scalar_u0 = jnp.ndim(u0) == 0
     n_output = 1 if scalar_u0 else int(np.prod(np.shape(u0)))
     dataset = alg.dataset or []
@@ -644,6 +664,11 @@ def build_pino_residual_vector(prob, alg, *, dt=None):
     dtype = default_float()
     if alg.bounds is None:
         raise ValueError("PINOODE requires parameter bounds")
+    if alg.additional_loss is not None:
+        raise ValueError(
+            "Gauss-Newton cannot fold PINOODE(additional_loss=...) into the "
+            "least-squares residual vector — stack your extra terms as "
+            "residual rows via lm_least_squares instead")
     strategy = alg.strategy
     if strategy is None and dt is not None:
         strategy = _GT(dt)
@@ -676,10 +701,8 @@ def solve_pino_gauss_newton(prob, alg, *, dt=None, method: str = "lm",
     """`solve_pino_ode` with Gauss-Newton: minimizes the operator-learning
     least squares (physics + IC over the (p, t) grid).  Returns the same
     `PINOODESolution` (sol(p, t) dispatches to the trained operator)."""
-    import jax as _jax
-
     from .config import default_float
-    from .solvers.pino import PINOODESolution, _grid_trainset
+    from .solvers.pino import PINOODESolution, _grid_trainset, make_pino_interp
     from .strategies import GridTraining as _GT
 
     r_fn, theta0, phi = build_pino_residual_vector(prob, alg, dt=dt)
@@ -696,18 +719,6 @@ def solve_pino_gauss_newton(prob, alg, *, dt=None, method: str = "lm",
     p_fin, t_fin = _grid_trainset(bounds, alg.number_of_parameters, tspan,
                                   strategy.dx or dt, dtype)
     n_out = 1 if jnp.ndim(prob.u0) == 0 else int(np.prod(np.shape(prob.u0)))
-
-    def interp(p, t):
-        if phi.is_deeponet:
-            return phi((p, t), res.u)
-        P, T = p.shape[1], t.shape[1]
-        pp = jnp.repeat(p[:, :, None], T, axis=2)
-        tt = jnp.broadcast_to(t[0][None, None, :], (1, P, T))
-        x = jnp.concatenate([pp, tt], axis=0).reshape(p.shape[0] + 1, P * T)
-        out = phi(x, res.u).reshape(n_out, P, T)
-        if n_out == 1:
-            return out[0].T
-        return jnp.moveaxis(out, 2, 0)
-
+    interp = make_pino_interp(phi, res.u, n_out)
     u = interp(p_fin, t_fin)
     return PINOODESolution(u=u, t=t_fin, p=p_fin, interp=interp, original=res)

@@ -137,6 +137,26 @@ def _losses(phi: PINOPhi, prob: ODEProblem, p, t, theta):
     return jnp.mean(r_phys ** 2) + jnp.mean(r_ic ** 2)
 
 
+def make_pino_interp(phi: "PINOPhi", theta, n_out: int):
+    """``interp(p, t)`` for a trained operator — the solution-evaluation
+    layout shared by `solve_pino_ode` and `gauss_newton.solve_pino_gauss_newton`
+    (DeepONet: (T, P); MLP scalar: (T, P); MLP vector: (T, n_out, P))."""
+
+    def interp(p, t):
+        if phi.is_deeponet:
+            return phi((p, t), theta)
+        P, T = p.shape[1], t.shape[1]
+        pp = jnp.repeat(p[:, :, None], T, axis=2)
+        tt = jnp.broadcast_to(t[0][None, None, :], (1, P, T))
+        x = jnp.concatenate([pp, tt], axis=0).reshape(p.shape[0] + 1, P * T)
+        out = phi(x, theta).reshape(n_out, P, T)
+        if n_out == 1:
+            return out[0].T
+        return jnp.moveaxis(out, 2, 0)
+
+    return interp
+
+
 @dataclass
 class PINOODESolution:
     """sol(p, t) dispatches to the trained operator (reference:
@@ -210,18 +230,6 @@ def solve_pino_ode(prob: ODEProblem, alg: PINOODE, *, dt=None,
             tspan, strategy.points, dtype)
 
     n_out_sol = 1 if jnp.ndim(prob.u0) == 0 else int(np.prod(np.shape(prob.u0)))
-
-    def interp(p, t):
-        if phi.is_deeponet:
-            return phi((p, t), res.u)
-        P, T = p.shape[1], t.shape[1]
-        pp = jnp.repeat(p[:, :, None], T, axis=2)
-        tt = jnp.broadcast_to(t[0][None, None, :], (1, P, T))
-        x = jnp.concatenate([pp, tt], axis=0).reshape(p.shape[0] + 1, P * T)
-        out = phi(x, res.u).reshape(n_out_sol, P, T)
-        if n_out_sol == 1:
-            return out[0].T                                   # (T, P) as before
-        return jnp.moveaxis(out, 2, 0)                        # (T, n_out, P)
-
+    interp = make_pino_interp(phi, res.u, n_out_sol)
     u = interp(p_fin, t_fin)
     return PINOODESolution(u=u, t=t_fin, p=p_fin, interp=interp, original=res)

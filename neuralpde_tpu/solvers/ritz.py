@@ -105,7 +105,9 @@ def discretize_ritz(pde_system: PDESystem, alg: DeepRitz) -> TrainingProblem:
         dict_depvar_input=pinnrep.dict_depvar_input,
         phis=[p.apply for p in phis], multioutput=pinnrep.multioutput,
         derivative=pinnrep.derivative, eq_params=pinnrep.eq_params,
-        param_estim=pinnrep.param_estim)
+        param_estim=pinnrep.param_estim,
+        integral_order=getattr(pinnrep, "integral_order", 20),
+        integral_panels=getattr(pinnrep, "integral_panels", 1))
 
     spans = {d.variables.name: (float(infimum(d.domain)),
                                 float(supremum(d.domain)))

@@ -429,12 +429,8 @@ def symbolic_diff(expr: Expr, var: Sym) -> Expr:
             s = expr.ivars[0]
             for sign, b in ((1.0, expr.ub[0]), (-1.0, expr.lb[0])):
                 if isinstance(b, Num) or not isinstance(b, Expr):
-                    v = b.value if isinstance(b, Num) else b
-                    if isinstance(v, (int, float)) and math.isfinite(v):
-                        continue       # constant bound: no boundary term
-                    raise ValueError(
-                        "cannot differentiate an integral with infinite "
-                        "bounds; apply the infinite-domain transform first")
+                    continue   # constant bound (finite or ±inf): b' = 0,
+                               # no boundary term
                 db = _simplify(symbolic_diff(b, var))
                 if _is_zero(db):
                     continue

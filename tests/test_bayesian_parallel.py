@@ -156,6 +156,13 @@ class TestDiagnostics:
         b = rng.normal(5.0, 0.1, size=(1, 200, 2))
         r = split_rhat(np.concatenate([a, b], axis=0))
         assert np.all(r > 2.0), r
+        # ZERO within-chain variance at distinct values (every proposal
+        # rejected) is the WORST non-convergence: must be inf, not 1.0
+        const = np.stack([np.zeros((50, 1)), np.full((50, 1), 3.0)])
+        assert np.all(np.isinf(split_rhat(const)))
+        # identical constant chains: genuinely degenerate -> 1.0
+        same = np.stack([np.ones((50, 1)), np.ones((50, 1))])
+        assert np.all(split_rhat(same) == 1.0)
 
     def test_ess_detects_autocorrelation(self):
         """An AR(1) chain with high autocorrelation has ESS << draws; white

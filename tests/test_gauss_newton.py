@@ -401,3 +401,84 @@ class TestSolverSurfaceDrivers:
         alg = NNODE(mlp([1, 8, 1]), strategy=StochasticTraining(32))
         with pytest.raises(TypeError, match="deterministic"):
             build_ode_residual_vector(prob, alg)
+
+
+class TestReviewFixesR3:
+    """Regression coverage for the r3 self-review findings."""
+
+    def test_trust_region_recovers_from_nonfinite_trial(self):
+        # delta0 overshoots into an overflow region: the first trial is
+        # non-finite and the radius must SHRINK (not repeat identically)
+        def r_fn(v):
+            a = v["a"]
+            return jnp.stack([jnp.exp(40.0 * a[0]) - 0.5, a[0] + 0.2])
+
+        from neuralpde_tpu import trust_region_least_squares
+
+        res = trust_region_least_squares(
+            r_fn, {"a": jnp.zeros(1)}, maxiters=40, cg_iters=20,
+            delta0=1e4)
+        assert np.isfinite(res.objective)
+        assert res.objective < 0.3          # made real progress post-shrink
+
+    def test_lsqr_with_precondition_rejected(self):
+        prob = _poisson_1d(GridTraining(0.1))
+        with pytest.raises(ValueError, match="CG-only"):
+            solve_gauss_newton(prob, solver="lsqr", precondition=True)
+
+    def test_additional_loss_rejected_by_gn_drivers(self):
+        from neuralpde_tpu import (
+            NNODE, PINOODE, build_ode_residual_vector,
+            build_pino_residual_vector,
+        )
+        from neuralpde_tpu.solvers.problems import ODEProblem
+
+        prob = ODEProblem(lambda u, p, t: -u, 1.0, (0.0, 1.0))
+        alg = NNODE(mlp([1, 8, 1]), strategy=GridTraining(0.1),
+                    additional_loss=lambda phi, theta: 0.0)
+        with pytest.raises(ValueError, match="additional_loss"):
+            build_ode_residual_vector(prob, alg)
+        palg = PINOODE(mlp([2, 8, 1]), bounds=[(0.5, 1.0)],
+                       strategy=GridTraining(0.1),
+                       additional_loss=lambda phi, theta: 0.0)
+        with pytest.raises(ValueError, match="additional_loss"):
+            build_pino_residual_vector(prob, palg)
+
+    def test_separable_integral_honors_integral_order(self):
+        # PhysicsInformedNN(integral_order=...) must reach the factorized
+        # integral quadrature (was silently dropped)
+        from neuralpde_tpu import (
+            Integral, PDESystem, discretize, separable_mlp, Domain, Interval,
+        )
+        from neuralpde_tpu.compile.separable import SeparableTraining
+
+        x, s = symbols("x s")
+        u = DepVar("u")
+        # oscillatory integrand: a 2-point rule and a 32-point rule disagree
+        eq = Eq(u(x), Integral(s, 0.0, 1.0)(sin(40.0 * s) * u(s)))
+        sys = PDESystem(eq, [], [Domain(x, Interval(0, 1))], [x], [u(x)])
+
+        def loss_at(order):
+            disc = PhysicsInformedNN(separable_mlp(1, (8,), 4),
+                                     SeparableTraining(dx=1 / 8),
+                                     integral_order=order, seed=0)
+            prob = discretize(sys, disc)
+            lstate = {"key": jax.random.key(0),
+                      "adaptive": prob.pinnrep.adaloss.init_state(
+                          1, 0, prob.pinnrep.dtype)}
+            return float(prob.loss(prob.init_params, lstate)[0])
+
+        assert abs(loss_at(2) - loss_at(32)) > 1e-8
+
+    def test_leibniz_constant_infinite_bound_ok(self):
+        from neuralpde_tpu.symbolic.expr import (
+            IntegralExpr, exp as sexp, expand_derivatives,
+        )
+
+        x, s = symbols("x s")
+        u = DepVar("u")
+        # d/dx ∫_0^inf e^{-s²}·u(x) ds = ∫_0^inf e^{-s²}·u'(x) ds
+        expr = Differential(x)(
+            IntegralExpr(sexp(-(s ** 2)) * u(x), (s,), (0.0,), (np.inf,)))
+        out = expand_derivatives(expr)   # must NOT raise
+        assert "Integral" in repr(out) and "∂x(u(x))" in repr(out)
