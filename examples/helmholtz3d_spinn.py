@@ -16,7 +16,9 @@ Measured on one TPU v5e chip (a=2, k=1, rank 64, 128³ grid):
 
     2000 Adam iters, 6.6 s train wall-clock (after compile)
     relative L2 vs the analytic solution: 5.2e-3
-    (5000 iters + cosine decay: 7.7 s, 4.1e-3 — capacity-limited there)
+    (r3) under JAX_DEFAULT_MATMUL_PRECISION=highest: 3.7e-3, and with two
+    2000-iter L-BFGS polish stages: 3.22e-4 — the r2 "capacity-limited"
+    plateau was the MXU's default bf16-pass precision floor (PERF.md)
 
 Run: python examples/helmholtz3d_spinn.py
 """
