@@ -47,3 +47,9 @@ sol = solve_bnnode(prob, alg)
 est = [float(p.mean) for p in sol.estimated_de_params]
 print("true params:", [alpha, beta, gamma, delta])
 print("estimated:  ", [round(v, 3) for v in est])
+
+# convergence diagnostics (MCMCChains-summary analog): the DE-parameter
+# entries are the last four flat coordinates
+d = sol.diagnostics()
+print("param split-Rhat:", np.round(d["split_rhat"][-4:], 3),
+      " ESS:", np.round(d["ess"][-4:], 0))
