@@ -97,3 +97,48 @@ def test_separable_on_hardware():
     ua = np.sin(np.pi * X) * np.sin(np.pi * Y) / (2 * np.pi**2)
     rel = np.linalg.norm(up - ua) / np.linalg.norm(ua)
     assert rel < 1e-2, rel
+
+
+@needs_hw
+def test_matmul_precision_lifts_accuracy_on_hardware():
+    """The r3 precision finding, as an on-chip regression: the same 1000-iter
+    separable Allen-Cahn stage must train measurably better under
+    matmul_precision="highest" than under the default bf16 MXU passes.
+    (Full-budget record: 0.0032, examples/allen_cahn_spinn.py / PERF.md.)"""
+    import neuralpde_tpu as npde
+    from neuralpde_tpu import (
+        Chain, DepVar, Differential, Domain, Eq, Interval, NonAdaptiveLoss,
+        PDESystem, PeriodicEmbedding, PhysicsInformedNN, SeparableNet,
+        SeparableTraining, discretize, mlp, solve, symbols,
+    )
+
+    x, t = symbols("x t")
+    u = DepVar("u")
+    eq = Eq(Differential(t)(u(x, t)),
+            1e-4 * (Differential(x) ** 2)(u(x, t))
+            + 5.0 * (u(x, t) - u(x, t) ** 3))
+    bcs = [Eq(u(x, 0.0), x**2 * npde.cos(np.pi * x))]
+    system = PDESystem(eq, bcs,
+                       [Domain(x, Interval(-1, 1)), Domain(t, Interval(0, 1))],
+                       [x, t], [u(x, t)])
+
+    def final_loss(mp):
+        x_net = Chain(PeriodicEmbedding(1, axis=0, period=2.0, n_modes=6),
+                      *mlp([12, 32, 32, 64]).layers)
+        net = SeparableNet([x_net, mlp([1, 32, 32, 64])])
+        disc = PhysicsInformedNN(
+            net, SeparableTraining(dx=[2 / 127, 1 / 127], causal=t,
+                                   causal_eps=100.0),
+            dtype=jnp.float32, matmul_precision=mp,
+            adaptive_loss=NonAdaptiveLoss(bc_loss_weights=[100.0]))
+        prob = discretize(system, disc)
+        res = solve(prob, optax.adam(1e-3), maxiters=3000, inner_steps=500,
+                    key=jax.random.key(0))
+        return float(res.objective)
+
+    l_default = final_loss(None)
+    l_highest = final_loss("highest")
+    assert np.isfinite(l_highest)
+    # true-f32 passes must reach a lower training floor on this stiff
+    # einsum-heavy program (measured full-budget gap: 0.025 vs 0.0032)
+    assert l_highest < l_default, (l_highest, l_default)
