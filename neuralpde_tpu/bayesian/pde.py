@@ -172,15 +172,7 @@ class PDELogTargetDensity:
             phis_ = pinnrep.phi if self.multioutput else [pinnrep.phi]
             nets = {n: ph.module
                     for n, ph in zip(pinnrep.depvars, phis_)}
-            ctx = LoweringContext(
-                depvars=pinnrep.depvars, indvars=pinnrep.indvars,
-                dict_depvar_input=pinnrep.dict_depvar_input,
-                phis=[ph.apply for ph in phis_],
-                multioutput=self.multioutput,
-                derivative=pinnrep.derivative, eq_params=pinnrep.eq_params,
-                param_estim=pinnrep.param_estim,
-                integral_order=getattr(pinnrep, "integral_order", 20),
-                integral_panels=getattr(pinnrep, "integral_panels", 1))
+            ctx = LoweringContext.from_pinnrep(pinnrep)
             dxs = (list(strategy.dx)
                    if isinstance(strategy.dx, (list, tuple))
                    else [strategy.dx] * len(pinnrep.domains))

@@ -57,6 +57,20 @@ class LoweringContext:
     def phi_for(self, name):
         return self.phis[self.depvars.index(name)]
 
+    @classmethod
+    def from_pinnrep(cls, pinnrep) -> "LoweringContext":
+        """Rebuild the compile context of an existing `PINNRepresentation`
+        (the separable/Gauss-Newton/BPINN/Ritz re-lowering entry point)."""
+        phis = pinnrep.phi if pinnrep.multioutput else [pinnrep.phi]
+        return cls(
+            depvars=pinnrep.depvars, indvars=pinnrep.indvars,
+            dict_depvar_input=pinnrep.dict_depvar_input,
+            phis=[p.apply for p in phis], multioutput=pinnrep.multioutput,
+            derivative=pinnrep.derivative, eq_params=pinnrep.eq_params,
+            param_estim=pinnrep.param_estim,
+            integral_order=pinnrep.integral_order,
+            integral_panels=pinnrep.integral_panels)
+
 
 # ---------------------------------------------------------------------------
 # Equation analysis (get_argument / get_variables analogs)

@@ -216,7 +216,9 @@ def _integral_grid(expr: IntegralExpr, env, theta, p, gctx: _GridContext):
     val = jnp.asarray(_gev(expr.integrand, env2, theta, p, gctx2))
     if val.ndim == 0:
         val = val.reshape((1,) * (k0 + m))
-    val = jnp.broadcast_to(val, tuple(n.shape[0] for n in nodes2))
+    # no broadcast_to: a size-1 temp axis (ivar-independent integrand)
+    # contracts against the weights (Σw = 1) without materializing the
+    # full extended grid, and the caller broadcasts the outer axes
     w = jnp.asarray(wu, gctx.dtype)
     for d in reversed(range(m)):
         val = jnp.sum(val * w, axis=-1) * (ubs[d] - lbs[d])
@@ -328,14 +330,7 @@ class SeparableTraining(TrainingStrategy):
                     f"{type(phi.module).__name__}")
             nets[name] = phi.module
 
-        ctx = LoweringContext(
-            depvars=pinnrep.depvars, indvars=pinnrep.indvars,
-            dict_depvar_input=pinnrep.dict_depvar_input,
-            phis=[p.apply for p in phis], multioutput=pinnrep.multioutput,
-            derivative=pinnrep.derivative, eq_params=pinnrep.eq_params,
-            param_estim=pinnrep.param_estim,
-            integral_order=getattr(pinnrep, "integral_order", 20),
-            integral_panels=getattr(pinnrep, "integral_panels", 1))
+        ctx = LoweringContext.from_pinnrep(pinnrep)
 
         spans = {d.variables.name: (float(infimum(d.domain)),
                                     float(supremum(d.domain)))

@@ -33,6 +33,24 @@ from .strategies import GridTraining, QuadratureTraining, generate_training_sets
 from .train import SolveResult
 
 
+def _prec_ctx(matmul_precision):
+    """Trace-time matmul-precision context for a GN program (None inherits
+    the ambient setting)."""
+    import contextlib
+
+    return (jax.default_matmul_precision(matmul_precision)
+            if matmul_precision is not None else contextlib.nullcontext())
+
+
+def _ls_driver(method: str):
+    """Least-squares outer driver for ``method`` ("lm" | "tr")."""
+    if method == "lm":
+        return lm_least_squares
+    if method == "tr":
+        return trust_region_least_squares
+    raise ValueError(f"method must be 'lm' or 'tr', got {method!r}")
+
+
 def build_residual_vector(pinnrep) -> Callable:
     """One flat residual function ``r(theta) -> (M,)`` with
     ``||r(θ)||² == full_loss(θ)`` (at the adaptive state's initial weights):
@@ -94,14 +112,7 @@ def build_residual_vector(pinnrep) -> Callable:
         for name, net in nets.items():
             if not isinstance(net, SeparableNet):
                 raise TypeError(f"chain for {name!r} is not a SeparableNet")
-        ctx = LoweringContext(
-            depvars=pinnrep.depvars, indvars=pinnrep.indvars,
-            dict_depvar_input=pinnrep.dict_depvar_input,
-            phis=[p.apply for p in phis], multioutput=pinnrep.multioutput,
-            derivative=pinnrep.derivative, eq_params=pinnrep.eq_params,
-            param_estim=pinnrep.param_estim,
-            integral_order=getattr(pinnrep, "integral_order", 20),
-            integral_panels=getattr(pinnrep, "integral_panels", 1))
+        ctx = LoweringContext.from_pinnrep(pinnrep)
         dxs = (list(strategy.dx) if isinstance(strategy.dx, (list, tuple))
                else [strategy.dx] * len(pinnrep.domains))
         nodes_of = {d.variables.name: julia_range(
@@ -279,8 +290,6 @@ def lm_least_squares(r_fn: Callable, init_params, *, maxiters: int = 50,
       GN targets are tiny, so the ~3x matmul cost is irrelevant.  None
       inherits the ambient precision.
     """
-    import contextlib
-
     v0, unravel = ravel_pytree(init_params)
     if v0.dtype == jnp.float32 and matmul_precision is None:
         import warnings
@@ -302,8 +311,7 @@ def lm_least_squares(r_fn: Callable, init_params, *, maxiters: int = 50,
                          "precondition, or drop one of them)")
 
     def _prec():
-        return (jax.default_matmul_precision(matmul_precision)
-                if matmul_precision is not None else contextlib.nullcontext())
+        return _prec_ctx(matmul_precision)
 
     def r_flat(v):
         return r_fn(unravel(v))
@@ -402,13 +410,10 @@ def trust_region_least_squares(r_fn: Callable, init_params, *,
     radius Δ adapts on the host from the actual/predicted reduction ratio.
     ``matmul_precision``: see `lm_least_squares` (the TPU f32 accuracy
     fix; default "highest")."""
-    import contextlib
-
     v0, unravel = ravel_pytree(init_params)
 
     def _prec():
-        return (jax.default_matmul_precision(matmul_precision)
-                if matmul_precision is not None else contextlib.nullcontext())
+        return _prec_ctx(matmul_precision)
 
     def r_flat(v):
         return r_fn(unravel(v))
@@ -526,12 +531,8 @@ def solve_gauss_newton(prob, *, method: str = "lm", **kwargs) -> SolveResult:
 
     ``method``: "lm" (Levenberg-Marquardt damping, `lm_least_squares`) or
     "tr" (Steihaug trust region, `trust_region_least_squares`)."""
-    r_fn = build_residual_vector(prob.pinnrep)
-    if method == "tr":
-        return trust_region_least_squares(r_fn, prob.init_params, **kwargs)
-    if method != "lm":
-        raise ValueError(f"method must be 'lm' or 'tr', got {method!r}")
-    return lm_least_squares(r_fn, prob.init_params, **kwargs)
+    return _ls_driver(method)(build_residual_vector(prob.pinnrep),
+                              prob.init_params, **kwargs)
 
 
 # ---------------------------------------------------------------------------
@@ -642,11 +643,7 @@ def solve_ode_gauss_newton(prob, alg, *, dt=None, saveat=None,
     from .solvers.ode import build_ode_solution
 
     r_fn, theta0, phi = build_ode_residual_vector(prob, alg, dt=dt)
-    driver = (trust_region_least_squares if method == "tr"
-              else lm_least_squares)
-    if method not in ("lm", "tr"):
-        raise ValueError(f"method must be 'lm' or 'tr', got {method!r}")
-    res = driver(r_fn, theta0, **kwargs)
+    res = _ls_driver(method)(r_fn, theta0, **kwargs)
     return build_ode_solution(prob, phi, res, dt=dt, saveat=saveat,
                               save_everystep=save_everystep,
                               dtype=default_float())
@@ -706,11 +703,7 @@ def solve_pino_gauss_newton(prob, alg, *, dt=None, method: str = "lm",
     from .strategies import GridTraining as _GT
 
     r_fn, theta0, phi = build_pino_residual_vector(prob, alg, dt=dt)
-    driver = (trust_region_least_squares if method == "tr"
-              else lm_least_squares)
-    if method not in ("lm", "tr"):
-        raise ValueError(f"method must be 'lm' or 'tr', got {method!r}")
-    res = driver(r_fn, theta0, **kwargs)
+    res = _ls_driver(method)(r_fn, theta0, **kwargs)
 
     dtype = default_float()
     bounds = [tuple(map(float, b)) for b in alg.bounds]

@@ -99,15 +99,7 @@ def discretize_ritz(pde_system: PDESystem, alg: DeepRitz) -> TrainingProblem:
     # --- energy terms: lower with the same machinery as any residual ------
     from ..compile.lower import LoweringContext
 
-    phis = pinnrep.phi if pinnrep.multioutput else [pinnrep.phi]
-    ctx = LoweringContext(
-        depvars=pinnrep.depvars, indvars=pinnrep.indvars,
-        dict_depvar_input=pinnrep.dict_depvar_input,
-        phis=[p.apply for p in phis], multioutput=pinnrep.multioutput,
-        derivative=pinnrep.derivative, eq_params=pinnrep.eq_params,
-        param_estim=pinnrep.param_estim,
-        integral_order=getattr(pinnrep, "integral_order", 20),
-        integral_panels=getattr(pinnrep, "integral_panels", 1))
+    ctx = LoweringContext.from_pinnrep(pinnrep)
 
     spans = {d.variables.name: (float(infimum(d.domain)),
                                 float(supremum(d.domain)))
