@@ -30,7 +30,9 @@ import jax.numpy as jnp
 
 from ..nn.separable import SeparableNet
 from ..parallel.mesh import shard_axis_nodes
-from ..strategies import TrainingStrategy, _msq, julia_range
+from ..strategies import (
+    TrainingStrategy, _mean_sq_loss, _msq, generate_training_sets, julia_range,
+)
 from ..symbolic.expr import (
     PRIMITIVES, Call, DepVarCall, Deriv, Eq, Expr, IntegralExpr, Num, Param,
     Sym, _simplify, expand_derivatives, symbolic_diff,
@@ -39,6 +41,20 @@ from ..symbolic.system import infimum, supremum
 from .lower import LoweringContext, get_argument
 
 _AXIS_LETTERS = string.ascii_lowercase[:10]
+
+# error texts that mean "this equation cannot factorize" (vs a genuinely
+# malformed problem): SeparableTraining.build routes these equations to a
+# dense pointwise fallback instead of failing the whole problem
+_FACTORIZATION_ERROR_MARKS = ("separable fast path",)
+
+# dense-fallback tensor grids beyond this size would materialize the full
+# N^d pointwise evaluation the factorized path exists to avoid
+_DENSE_FALLBACK_MAX_POINTS = 1 << 22
+
+
+def _is_factorization_error(e: BaseException) -> bool:
+    return (isinstance(e, (ValueError, NotImplementedError))
+            and any(m in str(e) for m in _FACTORIZATION_ERROR_MARKS))
 
 
 @dataclass
@@ -83,7 +99,9 @@ def _slot_nodes(arg, env, theta, p, gctx: _GridContext):
         return nz[0], val.reshape(-1)
     raise ValueError(
         "separable fast path: a dependent-variable argument couples several "
-        "grid axes and cannot factorize — use a dense training strategy")
+        "grid axes and cannot factorize — under SeparableTraining this "
+        "equation auto-routes to a dense pointwise evaluation; elsewhere "
+        "use a dense training strategy")
 
 
 def _depvar_grid(call: DepVarCall, orders: dict, env, theta, p,
@@ -186,10 +204,12 @@ def _integral_grid(expr: IntegralExpr, env, theta, p, gctx: _GridContext):
     if any(isinstance(b, Expr) and not isinstance(b, Num)
            for b in expr.lb + expr.ub):
         raise NotImplementedError(
-            "integro-differential terms with symbolic/parametric bounds are "
-            "not supported on the separable fast path (the bound couples "
-            "grid axes); use GridTraining/StochasticTraining/"
-            "QuadratureTraining")
+            "integro-differential terms with symbolic/parametric bounds "
+            "cannot factorize on the separable fast path (the bound couples "
+            "grid axes); under SeparableTraining such equations auto-route "
+            "to a dense pointwise evaluation (other equations stay "
+            "factorized) — or use GridTraining/StochasticTraining/"
+            "QuadratureTraining for the whole problem")
     lbs = [b.value if isinstance(b, Num) else float(b) for b in expr.lb]
     ubs = [b.value if isinstance(b, Num) else float(b) for b in expr.ub]
     nu, wu = composite_gl_unit(gctx.ctx.integral_order,
@@ -317,7 +337,8 @@ class SeparableTraining(TrainingStrategy):
         self._weight_fns = []
 
     def build(self, pinnrep, datafree_pde, datafree_bc):
-        del datafree_pde, datafree_bc   # the factorized path lowers its own
+        # factorized path lowers its own losses; the pointwise datafree
+        # closures back the dense fallback for non-factorizable equations
         dtype = pinnrep.dtype
         acc = pinnrep.loss_accum_dtype
         phis = pinnrep.phi if pinnrep.multioutput else [pinnrep.phi]
@@ -365,6 +386,8 @@ class SeparableTraining(TrainingStrategy):
         ge = getattr(pinnrep, "gradient_enhanced", None)
         remat = getattr(pinnrep, "remat", False)
 
+        theta0 = getattr(pinnrep, "flat_init_params", None)
+
         def make_loss(eq, eq_tag, allow_causal):
             residual, axes = build_separable_residual(
                 eq, ctx, nets, dtype, pinnrep.default_p)
@@ -405,6 +428,14 @@ class SeparableTraining(TrainingStrategy):
                 stacked = True
             if remat:
                 residual = jax.checkpoint(residual)
+            if theta0 is not None:
+                # abstract probe: factorization failures (axis-coupling
+                # arguments, parametric integral bounds) otherwise only
+                # surface at first trace — raise them HERE so build() can
+                # route this equation to the dense fallback
+                jax.eval_shape(residual,
+                               [jnp.zeros((2,), dtype) for _ in axes],
+                               theta0)
             t_axis = None   # index into the grid-axis list (node sorting)
             t_pos = None    # index into the residual array dims (reduction)
             if allow_causal and self.causal is not None:
@@ -503,11 +534,79 @@ class SeparableTraining(TrainingStrategy):
                                   t_pos, dt)[1])
             return loss
 
+        def dense_fallback(df, args, eq_tag, eq, why):
+            """Pointwise evaluation of one non-factorizable equation on the
+            SAME tensor grid the factorized equations train on (auto-hybrid
+            routing; the reference's single dense pipeline handles every
+            such equation, src/discretize.jl:332-396).  Causal/RAD
+            weighting does not apply to routed equations."""
+            import warnings
+
+            sym_args = [a for a in args if isinstance(a, Sym)]
+            if self.dx is not None:
+                dxs = (list(self.dx) if isinstance(self.dx, (list, tuple))
+                       else [self.dx] * len(pinnrep.domains))
+                axis_len = {d.variables.name: len(julia_range(
+                    spans[d.variables.name][0], spans[d.variables.name][1],
+                    h)) for d, h in zip(pinnrep.domains, dxs)}
+                n_total = 1
+                for a in sym_args:
+                    n_total *= axis_len[a.name]
+            else:
+                n_total = self.points ** len(sym_args) if sym_args else 1
+            if n_total > _DENSE_FALLBACK_MAX_POINTS:
+                raise ValueError(
+                    f"equation {eq!r} cannot factorize ({why}) and its dense "
+                    f"fallback tensor grid has {n_total} points (> "
+                    f"{_DENSE_FALLBACK_MAX_POINTS}) — coarsen the grid for "
+                    "this problem or use a dense training strategy") from None
+            warnings.warn(
+                f"SeparableTraining: equation {eq!r} cannot factorize "
+                f"({why}); evaluating it densely on the {n_total}-point "
+                "tensor grid (remaining equations stay on the factorized "
+                "fast path; causal/RAD weighting does not apply to this "
+                "equation)", stacklevel=2)
+            if self.dx is not None:
+                train_set = generate_training_sets(
+                    pinnrep.domains, self.dx, [args], dtype)[0]
+                return _mean_sq_loss(df, train_set, acc)
+
+            bounds = [spans[a.name] if isinstance(a, Sym) else None
+                      for a in args]
+
+            def loss(theta, key, df=df, bounds=bounds, args=args,
+                     eq_tag=eq_tag):
+                cols = []
+                for j, (a, b) in enumerate(zip(args, bounds)):
+                    if b is None:
+                        cols.append(jnp.full((1,), float(a), dtype))
+                    else:
+                        k = jax.random.fold_in(
+                            jax.random.fold_in(key, eq_tag), j)
+                        cols.append(b[0] + (b[1] - b[0]) * jax.random.uniform(
+                            k, (self.points,), dtype))
+                grids = jnp.meshgrid(*cols, indexing="ij")
+                cord = jnp.stack([g.reshape(-1) for g in grids])
+                return _msq(df(cord, theta), acc)
+
+            return loss
+
+        def route(eq, df, args, eq_tag, allow_causal):
+            try:
+                return make_loss(eq, eq_tag, allow_causal)
+            except (ValueError, NotImplementedError) as e:
+                if not _is_factorization_error(e):
+                    raise
+                return dense_fallback(df, args, eq_tag, eq, str(e))
+
         self._weight_fns = []
-        pde_losses = [make_loss(eq, i, True)
-                      for i, eq in enumerate(pinnrep.eqs)]
-        bc_losses = [make_loss(bc, 1000 + i, False)
-                     for i, bc in enumerate(pinnrep.bcs)]
+        pde_args, bc_args = pinnrep.pde_args, pinnrep.bc_args
+        pde_losses = [route(eq, df, args, i, True)
+                      for i, (eq, df, args) in enumerate(
+                          zip(pinnrep.eqs, datafree_pde, pde_args))]
+        bc_losses = [route(bc, df, args, 1000 + i, False)
+                     for i, (bc, df, args) in enumerate(
+                         zip(pinnrep.bcs, datafree_bc, bc_args))]
         return pde_losses, bc_losses
 
     def causal_weights(self, theta, key):

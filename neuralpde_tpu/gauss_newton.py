@@ -51,10 +51,18 @@ def _ls_driver(method: str):
     raise ValueError(f"method must be 'lm' or 'tr', got {method!r}")
 
 
-def build_residual_vector(pinnrep) -> Callable:
+def build_residual_vector(pinnrep, adaptive_state=None) -> Callable:
     """One flat residual function ``r(theta) -> (M,)`` with
-    ``||r(θ)||² == full_loss(θ)`` (at the adaptive state's initial weights):
-    each equation/BC residual block is scaled by ``sqrt(w_i / N_i)``."""
+    ``||r(θ)||² == full_loss(θ)`` at the given adaptive state's weights:
+    each equation/BC residual block is scaled by ``sqrt(w_i / N_i)``.
+
+    ``adaptive_state``: the weight state whose loss GN should optimize —
+    pass a `solve` result's ``res.aux["adaptive_state"]`` to polish an
+    adaptively-trained objective at its final weights.  With the default
+    `NonAdaptiveLoss` the initial state is used; an adaptive scheme WITHOUT
+    an explicit state is rejected (GN would silently optimize a different
+    weighting than training did)."""
+    from .adaptive import NonAdaptiveLoss
     from .compile.separable import SeparableTraining, build_separable_residual
     from .compile.lower import LoweringContext
     from .nn.separable import SeparableNet
@@ -63,9 +71,17 @@ def build_residual_vector(pinnrep) -> Callable:
     lf = pinnrep.loss_functions
     n_pde = len(lf.datafree_pde_loss_functions)
     n_bc = len(lf.datafree_bc_loss_functions)
-    ada0 = pinnrep.adaloss.init_state(n_pde, n_bc, pinnrep.dtype)
-    w_pde = np.asarray(ada0["pde_weights"], dtype=np.float64)
-    w_bc = np.asarray(ada0["bc_weights"], dtype=np.float64)
+    if adaptive_state is None:
+        if not isinstance(pinnrep.adaloss, NonAdaptiveLoss):
+            raise ValueError(
+                f"the problem was built with {type(pinnrep.adaloss).__name__} "
+                "— Gauss-Newton at the INITIAL weights would optimize a "
+                "different objective than training did; pass the trained "
+                "state: solve_gauss_newton(prob, adaptive_state="
+                "res.aux['adaptive_state'])")
+        adaptive_state = pinnrep.adaloss.init_state(n_pde, n_bc, pinnrep.dtype)
+    w_pde = np.asarray(adaptive_state["pde_weights"], dtype=np.float64)
+    w_bc = np.asarray(adaptive_state["bc_weights"], dtype=np.float64)
 
     if isinstance(strategy, GridTraining):
         pde_sets = generate_training_sets(
@@ -124,6 +140,9 @@ def build_residual_vector(pinnrep) -> Callable:
                 eq, ctx, nets, pinnrep.dtype, pinnrep.default_p)
             nodes = [jnp.asarray(nodes_of[a.name], pinnrep.dtype)
                      for a in axes]
+            # surface factorization failures now (not at first jvp trace)
+            # so the auto-hybrid routing below can catch them
+            jax.eval_shape(residual, nodes, pinnrep.flat_init_params)
 
             def r(theta):
                 out = jnp.ravel(residual(nodes, theta))
@@ -131,8 +150,36 @@ def build_residual_vector(pinnrep) -> Callable:
 
             return r
 
-        blocks = ([sep_block(eq, w) for eq, w in zip(pinnrep.eqs, w_pde)]
-                  + [sep_block(bc, w) for bc, w in zip(pinnrep.bcs, w_bc)])
+        def dense_block(f, args, w):
+            # auto-hybrid routing (mirrors SeparableTraining.build's dense
+            # fallback): non-factorizable equations contribute dense
+            # pointwise rows on the same tensor grid
+            s = jnp.asarray(generate_training_sets(
+                pinnrep.domains, strategy.dx, [args], pinnrep.dtype)[0])
+
+            def r(theta):
+                out = jnp.ravel(f(s, theta))
+                return out * jnp.sqrt(jnp.asarray(w / out.size, out.dtype))
+
+            return r
+
+        from .compile.separable import _is_factorization_error
+
+        def sep_or_dense(eq, f, args, w):
+            try:
+                return sep_block(eq, w)
+            except (ValueError, NotImplementedError) as e:
+                if not _is_factorization_error(e):
+                    raise
+                return dense_block(f, args, w)
+
+        blocks = (
+            [sep_or_dense(eq, f, a, w) for eq, f, a, w in
+             zip(pinnrep.eqs, lf.datafree_pde_loss_functions,
+                 pinnrep.pde_args, w_pde)]
+            + [sep_or_dense(bc, f, a, w) for bc, f, a, w in
+               zip(pinnrep.bcs, lf.datafree_bc_loss_functions,
+                   pinnrep.bc_args, w_bc)])
 
     elif isinstance(strategy, QuadratureTraining):
         # fixed composite rule (deterministic): fold the per-point quadrature
@@ -305,6 +352,16 @@ def lm_least_squares(r_fn: Callable, init_params, *, maxiters: int = 50,
     if scalar_dtype is not None and solver != "lsqr":
         raise ValueError("scalar_dtype (mixed-precision recurrence) requires "
                          "solver='lsqr'")
+    if (scalar_dtype is not None
+            and jax.dtypes.canonicalize_dtype(scalar_dtype)
+            != jnp.dtype(scalar_dtype)):
+        # without jax_enable_x64 the astype calls in _damped_lsqr are no-ops
+        # and the advertised mixed-precision recurrence silently doesn't run
+        raise ValueError(
+            f"scalar_dtype={jnp.dtype(scalar_dtype).name} is unavailable: "
+            "this dtype degrades under the current JAX config — enable it "
+            "with jax.config.update('jax_enable_x64', True) (the problem "
+            "itself can stay float32), or drop scalar_dtype")
     if precondition and solver == "lsqr":
         raise ValueError("precondition=True is a CG-only option (LSQR is "
                          "already better conditioned; use solver='cg' with "
@@ -410,6 +467,12 @@ def trust_region_least_squares(r_fn: Callable, init_params, *,
     radius Δ adapts on the host from the actual/predicted reduction ratio.
     ``matmul_precision``: see `lm_least_squares` (the TPU f32 accuracy
     fix; default "highest")."""
+    if not eta < 0.25:
+        # the radius only shrinks when rho < 0.25; with eta >= 0.25 a
+        # rejected step with rho in [0.25, eta] would leave delta unchanged
+        # and the deterministic trial would repeat identically forever
+        raise ValueError(f"eta must be < 0.25 (got {eta}): the trust-region "
+                         "radius shrinks only when rho < 0.25")
     v0, unravel = ravel_pytree(init_params)
 
     def _prec():
@@ -460,7 +523,11 @@ def trust_region_least_squares(r_fn: Callable, init_params, *,
             p_new = jnp.where(to_boundary, p + boundary(p, d) * d, p_try)
             rr_new = rr + alpha * Bd
             rr2_new = jnp.vdot(rr_new, rr_new)
-            small = rr2_new < 1e-14 * g2
+            # early-exit tolerance scaled by the iterate dtype: the fixed
+            # 1e-14·g2 is f64-calibrated — an f32 squared-residual rarely
+            # reaches it, so truncated CG would always run all cg_iters
+            small = rr2_new < jnp.maximum(
+                (50.0 * jnp.finfo(v.dtype).eps) ** 2, 1e-14) * g2
             d_new = -rr_new + (rr2_new / jnp.maximum(rr2, eps)) * d
             return (i + 1,
                     p_new,
@@ -524,15 +591,20 @@ def trust_region_least_squares(r_fn: Callable, init_params, *,
                        aux={"delta": delta}, history=history)
 
 
-def solve_gauss_newton(prob, *, method: str = "lm", **kwargs) -> SolveResult:
+def solve_gauss_newton(prob, *, method: str = "lm", adaptive_state=None,
+                       **kwargs) -> SolveResult:
     """Gauss-Newton on a discretized `TrainingProblem`'s least-squares
     objective (deterministic strategies only — GridTraining, static-grid
     SeparableTraining, or QuadratureTraining).
 
     ``method``: "lm" (Levenberg-Marquardt damping, `lm_least_squares`) or
-    "tr" (Steihaug trust region, `trust_region_least_squares`)."""
-    return _ls_driver(method)(build_residual_vector(prob.pinnrep),
-                              prob.init_params, **kwargs)
+    "tr" (Steihaug trust region, `trust_region_least_squares`).
+    ``adaptive_state``: required when the problem uses an adaptive loss —
+    pass ``res.aux["adaptive_state"]`` from the training `solve` so GN
+    polishes the SAME weighted objective (see `build_residual_vector`)."""
+    return _ls_driver(method)(
+        build_residual_vector(prob.pinnrep, adaptive_state),
+        prob.init_params, **kwargs)
 
 
 # ---------------------------------------------------------------------------

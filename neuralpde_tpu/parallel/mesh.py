@@ -83,11 +83,13 @@ def shard_batch(x):
     n_axis = mesh.shape[BATCH_AXIS]
     if x.ndim < 2 or x.shape[-1] % n_axis != 0:
         return x
-    if jax.process_count() > 1 and not isinstance(x, jax.core.Tracer):
+    if jax.process_count() > 1 and jax.core.is_concrete(x):
         # multi-process: eager placement would create a global array
         # spanning non-addressable devices, which a jitted loss cannot
         # close over — leave the constant host-local (it bakes in
-        # replicated; the IN-TRACE call re-shards it under GSPMD)
+        # replicated; the IN-TRACE call re-shards it under GSPMD).
+        # is_concrete (False under tracing) is the supported tracer test;
+        # isinstance(x, jax.core.Tracer) relies on a deprecated shim.
         return x
     sharding = NamedSharding(mesh, P(*([None] * (x.ndim - 1)), BATCH_AXIS))
     return jax.lax.with_sharding_constraint(x, sharding)
@@ -106,7 +108,7 @@ def shard_axis_nodes(x):
     n_axis = mesh.shape[BATCH_AXIS]
     if x.ndim != 1 or x.shape[0] % n_axis != 0:
         return x
-    if jax.process_count() > 1 and not isinstance(x, jax.core.Tracer):
+    if jax.process_count() > 1 and jax.core.is_concrete(x):
         return x   # see shard_batch: no eager global placement multi-process
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(mesh, P(BATCH_AXIS)))

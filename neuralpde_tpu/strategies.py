@@ -289,6 +289,9 @@ class QuadratureTraining(TrainingStrategy):
         self.abstol = float(abstol)
         self.maxiters = int(maxiters)
         self.batch = batch  # API parity; batching is implicit in XLA
+        # per-equation trained-rule checks registered by build() when the
+        # rule was auto-refined (see validate_trained)
+        self._trained_checks = []
 
     @property
     def static_panels(self) -> int:
@@ -356,6 +359,25 @@ class QuadratureTraining(TrainingStrategy):
             nodes, weights = rule(panels)
             nodes = shard_batch(nodes)
 
+            if integral_at is not None:
+                # build-time refinement matched the tolerances only on the
+                # INITIAL-params integrand; register a post-solve check of
+                # the same rule against the trained solution (the reference's
+                # h-adaptive cubature tracks the solution at every step,
+                # src/training_strategies.jl:406-436 — ours freezes at build)
+                def check(theta, residual=residual, rule=rule, panels=panels):
+                    def at(p):
+                        n, w = rule(p)
+                        return float(jnp.sum(residual(n, theta) ** 2 * w))
+
+                    v1, v2 = at(panels), at(2 * panels)
+                    ok = abs(v2 - v1) <= max(self.abstol,
+                                             self.reltol * abs(v2))
+                    return {"panels": panels, "loss_at_panels": v1,
+                            "loss_at_2x_panels": v2, "ok": ok}
+
+                self._trained_checks.append(check)
+
             def loss(theta, key=None):
                 del key
                 # in-trace constraint (see _mean_sq_loss)
@@ -364,9 +386,36 @@ class QuadratureTraining(TrainingStrategy):
 
             return loss
 
+        self._trained_checks = []
         pde = [make(f, a) for f, a in zip(datafree_pde, pinnrep.pde_args)]
         bc = [make(f, a) for f, a in zip(datafree_bc, pinnrep.bc_args)]
         return pde, bc
+
+    def validate_trained(self, theta, warn: bool = True) -> list:
+        """Re-run the build-time refinement check at the TRAINED params: for
+        each auto-refined equation, compare the loss integral at the frozen
+        panel count against a doubled rule and flag disagreement beyond
+        reltol/abstol.  Called automatically at the end of `solve`; returns
+        the per-equation reports (``ok`` False = the trained solution has
+        sharper structure than the frozen rule resolves — rebuild with more
+        ``panels`` or tighter tolerances and retrain)."""
+        import warnings
+
+        reports = [check(theta) for check in self._trained_checks]
+        bad = [r for r in reports if not r["ok"]]
+        if bad and warn:
+            worst = max(bad, key=lambda r: abs(r["loss_at_2x_panels"]
+                                               - r["loss_at_panels"]))
+            warnings.warn(
+                f"QuadratureTraining: the auto-refined rule no longer meets "
+                f"reltol={self.reltol}/abstol={self.abstol} on the TRAINED "
+                f"solution for {len(bad)} equation(s) (worst: loss "
+                f"{worst['loss_at_panels']:.3e} at {worst['panels']} panels "
+                f"vs {worst['loss_at_2x_panels']:.3e} at double) — the "
+                "trained residual has structure the frozen rule misses; "
+                "rebuild with explicit panels= (or tighter reltol/abstol) "
+                "and retrain")
+        return reports
 
 
 class WeightedIntervalTraining(TrainingStrategy):

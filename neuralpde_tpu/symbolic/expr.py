@@ -425,23 +425,37 @@ def symbolic_diff(expr: Expr, var: Sym) -> Expr:
         if not _is_zero(_simplify(d_int)):
             terms.append(IntegralExpr(_simplify(d_int), expr.ivars,
                                       expr.lb, expr.ub))
-        if len(expr.ivars) == 1:
-            s = expr.ivars[0]
-            for sign, b in ((1.0, expr.ub[0]), (-1.0, expr.lb[0])):
+        # boundary terms, one pair per integration dimension d:
+        #   +[∫ over the other dims of f|_{s_d=ub_d}]·ub_d'(x)
+        #   −[∫ over the other dims of f|_{s_d=lb_d}]·lb_d'(x)
+        # valid for box-with-x-dependent-bounds regions: a bound may depend
+        # on the differentiation variable but not on another integration
+        # variable (a simplex-like region would change shape on
+        # substitution)
+        for b in expr.lb + expr.ub:
+            if isinstance(b, Expr) and any(_depends_on(b, v)
+                                           for v in expr.ivars):
+                raise ValueError(
+                    "derivative of an integral whose bound depends on "
+                    "another integration variable is not supported "
+                    "(non-box region)")
+        for d, s in enumerate(expr.ivars):
+            for sign, b in ((1.0, expr.ub[d]), (-1.0, expr.lb[d])):
                 if isinstance(b, Num) or not isinstance(b, Expr):
                     continue   # constant bound (finite or ±inf): b' = 0,
                                # no boundary term
                 db = _simplify(symbolic_diff(b, var))
                 if _is_zero(db):
                     continue
-                terms.append(Num(sign) * substitute(expr.integrand, {s: b})
-                             * db)
-        else:
-            for b in expr.lb + expr.ub:
-                if isinstance(b, Expr) and _depends_on(b, var):
-                    raise ValueError(
-                        "derivative of a multi-variable integral with "
-                        "variable-dependent bounds is not supported")
+                face = _simplify(substitute(expr.integrand, {s: b}))
+                rest = tuple(v for j, v in enumerate(expr.ivars) if j != d)
+                if rest:
+                    face = IntegralExpr(
+                        face,
+                        rest,
+                        tuple(bb for j, bb in enumerate(expr.lb) if j != d),
+                        tuple(bb for j, bb in enumerate(expr.ub) if j != d))
+                terms.append(Num(sign) * face * db)
         if not terms:
             return Num(0.0)
         out = terms[0]

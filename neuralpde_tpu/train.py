@@ -205,6 +205,13 @@ def solve(prob, optimizer=None, maxiters: int = 1000, *,
         from .utils.checkpoint import save_checkpoint
 
         save_checkpoint(checkpoint_dir, theta, opt_state, iteration=it)
+    # post-solve quadrature-rule recheck: an auto-refined QuadratureTraining
+    # rule was tuned on the INITIAL params — warn if the TRAINED residual
+    # outruns it (strategies.QuadratureTraining.validate_trained)
+    strategy = pinnrep.strategy if pinnrep is not None else None
+    if (getattr(strategy, "_trained_checks", None)
+            and math.isfinite(loss_val if loss_val is not None else math.nan)):
+        strategy.validate_trained(theta)
     return SolveResult(u=theta, objective=loss_val, iterations=it,
                        aux={**aux, "adaptive_state": ada_state},
                        history=history)
