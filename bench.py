@@ -7,9 +7,13 @@ The reference (SciML/NeuralPDE.jl) publishes no throughput numbers
 (BASELINE.md), so `vs_baseline` divides by a MEASURED single-core CPU run of
 the reference-equivalent workload (f64 + FD stencils; `--baseline` mode,
 BASELINE.md table).  The BASELINE.json north star is ≥10x that per-step
-throughput on one TPU chip.  Measured on v5e: 122M points/sec at batch
-524288 with microbatch=32768 chunking (~1790x the measured baseline;
-PERF.md has the full sweep and the to-accuracy numbers).
+throughput on one TPU chip.  Measured on v5e (r4): ~140M points/sec at
+batch 2097152 with microbatch=32768 chunking (~2060x the measured
+baseline; PERF.md has the full sweep and the to-accuracy numbers).
+
+The default run also emits driver-reproducible ON-CHIP accuracy fields
+(`*_rel_l2`, accuracy_suite) and the measured matmul_precision="highest"
+throughput cost (`*_highest_*`).
 """
 
 from __future__ import annotations
@@ -33,15 +37,27 @@ BASELINE_POINTS_PER_SEC = 6.82e4
 # v5e sweep (PERF.md): unchunked 32768 is the sweet spot (60-90M pts/s);
 # larger batches collapse to 33-35M as jvp-chain activations spill to HBM.
 # microbatch=32768 chunking (lax.map + per-chunk remat) fixes the large-batch
-# regime: batch 524288 runs at ~120M pts/s - the headline configuration.
-BATCH = 524288
+# regime, and throughput keeps growing with total batch as per-step overhead
+# amortizes: r4 interleaved-median sweep measured 115M pts/s at batch 524288
+# and 140-143M at batch 2097152 (same microbatch) - the headline config.
+BATCH = 2097152
 MICROBATCH = 32768
 HIDDEN = 64
 STEPS_MEASURE = 20
 
-# v5e f32 MXU peak (bf16 peak 197 TFLOP/s / 4; PERF.md roofline table pins
-# the measured width-128 train step at ~48.7 TFLOP/s ≈ this number)
-PEAK_F32_TFLOPS = 49.0
+# wider-net companion configs (each width has its own VMEM sweet spot:
+# microbatch shrinks as the jet working set grows with width; PERF.md r4)
+W128_BATCH, W128_MICROBATCH = 1048576, 8192
+W256_BATCH, W256_MICROBATCH = 262144, 8192
+
+# MEASURED single-chip matmul ceiling (r4, scripts/probe_matmul_peak.py):
+# tanh-separated 8192^3 f32 matmul chain at DEFAULT precision (bf16 passes)
+# sustains 123-125 TFLOP/s on this v5e chip (bf16 inputs: 138; f32
+# "highest" 3-pass: 27).  mfu_pct below = sustained XLA-counted TFLOP/s
+# as a fraction of this measured default-precision ceiling.  This retires
+# r1's assumed "49 TFLOP/s f32 peak" (and the hand-counted 48.7 TFLOP/s
+# roofline claim built on it) - see PERF.md "Roofline, remeasured".
+MEASURED_MATMUL_TFLOPS = 123.0
 
 
 def _compiled_flops(jitfn, *args):
@@ -68,7 +84,8 @@ def _mfu_fields(flops_per_step, dt, steps, prefix=""):
         return {}
     tflops = flops_per_step * steps / dt / 1e12
     return {prefix + "tflops": round(tflops, 2),
-            prefix + "mfu_pct": round(100.0 * tflops / PEAK_F32_TFLOPS, 1)}
+            prefix + "mfu_pct": round(
+                100.0 * tflops / MEASURED_MATMUL_TFLOPS, 1)}
 
 
 def time_to_l2(target: float = 1e-3, max_seconds: float = 120.0):
@@ -268,7 +285,9 @@ def measure_cpu_baseline(batch: int = 4096, steps: int = 5):
 
 def _poisson_pps(batch: int, hidden: int = HIDDEN, remat: bool = False,
                  dtype=None, accum=None, steps: int = 20,
-                 derivative: str = "jet", with_flops: bool = False):
+                 derivative: str = "jet", with_flops: bool = False,
+                 microbatch: int | None = None,
+                 matmul_precision: str | None = None):
     """Training-step throughput (points/sec) for the 2D-Poisson workload
     with the given batch/remat/dtype/accumulation configuration."""
     import jax
@@ -298,9 +317,11 @@ def _poisson_pps(batch: int, hidden: int = HIDDEN, remat: bool = False,
                        [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))],
                        [x, y], [u(x, y)])
     disc = PhysicsInformedNN(mlp([2, hidden, hidden, 1]),
-                             StochasticTraining(batch, bcs_points=batch // 8),
+                             StochasticTraining(batch, bcs_points=batch // 8,
+                                                microbatch=microbatch),
                              derivative=derivative, remat=remat, dtype=dtype,
-                             loss_accum_dtype=accum)
+                             loss_accum_dtype=accum,
+                             matmul_precision=matmul_precision)
     prob = discretize(system, disc)
     opt = optax.adam(1e-3)
     lf = prob.pinnrep.loss_functions
@@ -519,8 +540,52 @@ def time_to_l2_hard(target: float = 1e-3, max_seconds: float = 60.0):
             return None
 
 
+def _flops_per_point(hidden: int, batch: int = 32768,
+                     derivative: str = "jet"):
+    """XLA-counted FLOPs per collocation point of one train step, from a
+    loop-free UNCHUNKED twin at a small batch (FLOPs/point is
+    batch-independent; cost analysis counts loop bodies once, so the
+    microbatched program itself cannot be analyzed directly)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    import neuralpde_tpu as npde
+    from neuralpde_tpu import (
+        DepVar, Differential, Domain, Eq, Interval, PDESystem,
+        PhysicsInformedNN, StochasticTraining, discretize, mlp, symbols,
+    )
+    from neuralpde_tpu.train import make_step
+
+    x, y = symbols("x y")
+    u = DepVar("u")
+    eq = Eq((Differential(x) ** 2)(u(x, y)) + (Differential(y) ** 2)(u(x, y)),
+            -npde.sin(np.pi * x) * npde.sin(np.pi * y))
+    bcs = [Eq(u(0.0, y), 0.0), Eq(u(1.0, y), 0.0),
+           Eq(u(x, 0.0), 0.0), Eq(u(x, 1.0), 0.0)]
+    system = PDESystem(eq, bcs,
+                       [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))],
+                       [x, y], [u(x, y)])
+    disc = PhysicsInformedNN(mlp([2, hidden, hidden, 1]),
+                             StochasticTraining(batch, bcs_points=batch // 8),
+                             derivative=derivative)
+    prob = discretize(system, disc)
+    opt = optax.adam(1e-3)
+    lf = prob.pinnrep.loss_functions
+    step = make_step(prob.loss, opt, prob.pinnrep.adaloss,
+                     lf.pde_loss_functions, lf.bc_loss_functions)
+    theta = prob.init_params
+    ada = prob.pinnrep.adaloss.init_state(1, 4, prob.pinnrep.dtype)
+    carry = (theta, opt.init(theta), ada, jnp.asarray(0, jnp.int32))
+    flops = _compiled_flops(jax.jit(step), carry, jax.random.key(0))
+    if flops is None:
+        return None
+    return flops / (batch + 4 * (batch // 8))
+
+
 def spinn_points_per_sec(n: int = 16384, rank: int = 64, steps: int = 20,
-                         print_json: bool = True, with_flops: bool = False):
+                         print_json: bool = True, with_flops: bool = False,
+                         matmul_precision: str | None = None):
     """Separable-PINN (SPINN) training-step throughput: 2D Poisson on an
     n x n tensor grid with a rank-`rank` factorized trial function and exact
     (hard-constrained) boundary conditions.  The factorized lowering costs
@@ -555,7 +620,8 @@ def spinn_points_per_sec(n: int = 16384, rank: int = 64, steps: int = 20,
     net = SeparableNet([Transformed(mlp([1, HIDDEN, HIDDEN, rank]), hard)
                         for _ in range(2)])
     disc = PhysicsInformedNN(net, SeparableTraining(dx=1.0 / (n - 1)),
-                             dtype=jnp.float32)
+                             dtype=jnp.float32,
+                             matmul_precision=matmul_precision)
     prob = discretize(system, disc)
     opt = optax.adam(2e-3)
     lf = prob.pinnrep.loss_functions
@@ -659,6 +725,127 @@ def time_to_l2_spinn(target: float = 1e-3, max_seconds: float = 60.0):
             return None
 
 
+def accuracy_suite():
+    """Driver-reproducible ON-CHIP accuracy (VERDICT r4 item 2): train the
+    flagship recipes to a fixed budget and report rel L2 + wall.  Budgets
+    and expected bands are documented in PERF.md ("Driver-captured
+    accuracy"):
+
+    * 2-D Poisson, hard-constrained separable, 500 Adam iters  (~1e-3)
+    * GN frontier: f32 LSQR + f64 scalars, 200x200              (~1.5e-5)
+    * Allen-Cahn separable+causal+highest, 3x15k eps stages     (~0.03)
+    """
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    import neuralpde_tpu as npde
+    from neuralpde_tpu import (
+        Chain, DepVar, Differential, Domain, Eq, Interval, NonAdaptiveLoss,
+        PDESystem, PeriodicEmbedding, PhysicsInformedNN, SeparableNet,
+        SeparableTraining, Transformed, discretize, mlp, solve,
+        solve_gauss_newton, symbols,
+    )
+
+    out = {}
+    x, y = symbols("x y")
+    u = DepVar("u")
+    poisson_sys = PDESystem(
+        Eq((Differential(x) ** 2)(u(x, y)) + (Differential(y) ** 2)(u(x, y)),
+           -npde.sin(np.pi * x) * npde.sin(np.pi * y)),
+        [], [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))],
+        [x, y], [u(x, y)])
+    hard = lambda c, o: c * (1 - c) * o
+    xs = np.linspace(0, 1, 101)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    want = np.sin(np.pi * X) * np.sin(np.pi * Y) / (2 * np.pi**2)
+
+    # --- 1. separable + hard constraints, 500 Adam iters ------------------
+    net = SeparableNet([Transformed(mlp([1, 64, 64, 64]), hard)
+                        for _ in range(2)])
+    prob = discretize(poisson_sys, PhysicsInformedNN(
+        net, SeparableTraining(dx=1.0 / 127.0), dtype=jnp.float32))
+    solve(prob, optax.adam(2e-3), maxiters=100, inner_steps=100)  # warm
+    t0 = time.perf_counter()
+    res = solve(prob, optax.adam(2e-3), maxiters=500, inner_steps=100)
+    nodes = jnp.asarray(xs, jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        pred = np.asarray(net.grid(res.u["depvar"], [nodes, nodes]))
+    out["poisson_spinn_rel_l2"] = float(
+        np.linalg.norm(pred - want) / np.linalg.norm(want))
+    out["poisson_spinn_seconds"] = round(time.perf_counter() - t0, 2)
+
+    # --- 2. Gauss-Newton frontier (needs x64 for the f64 LSQR scalars) ----
+    jax.config.update("jax_enable_x64", True)
+    net_gn = SeparableNet([Transformed(mlp([1, 24, 24, 24]), hard)
+                           for _ in range(2)])
+    prob_gn = discretize(poisson_sys, PhysicsInformedNN(
+        net_gn, SeparableTraining(dx=1 / 32), dtype=jnp.float32))
+    t0 = time.perf_counter()
+    res_gn = solve_gauss_newton(prob_gn, maxiters=200, cg_iters=200,
+                                solver="lsqr", scalar_dtype=jnp.float64)
+    out["gn_seconds"] = round(time.perf_counter() - t0, 2)
+    with jax.default_matmul_precision("highest"):
+        pred = np.asarray(net_gn.grid(res_gn.u["depvar"],
+                                      [jnp.asarray(xs, jnp.float32)] * 2))
+    out["gn_rel_l2"] = float(np.linalg.norm(pred - want)
+                             / np.linalg.norm(want))
+
+    # --- 3. Allen-Cahn separable + causal + highest, 3x15k eps stages -----
+    sys.path.append(str(__import__("pathlib").Path(__file__).parent
+                        / "examples"))
+    from allen_cahn_spinn import build_net, ground_truth
+
+    xg, ts, U = ground_truth()
+    Xg, Tg = np.meshgrid(xg, ts, indexing="ij")
+    cord = jnp.asarray(np.stack([Xg.ravel(), Tg.ravel()]), jnp.float32)
+    want_ac = jnp.asarray(U.T.reshape(-1), jnp.float32)
+    xac, tac = symbols("x t")
+    uac = DepVar("u")
+    eq = Eq(Differential(tac)(uac(xac, tac)),
+            1e-4 * (Differential(xac) ** 2)(uac(xac, tac))
+            + 5.0 * (uac(xac, tac) - uac(xac, tac) ** 3))
+    bcs = [Eq(uac(xac, 0.0), xac**2 * npde.cos(np.pi * xac))]
+    ac_sys = PDESystem(eq, bcs, [Domain(xac, Interval(-1, 1)),
+                                 Domain(tac, Interval(0, 1))],
+                       [xac, tac], [uac(xac, tac)])
+    net_ac = build_net(256)
+    nodes_n = 256
+    dx = 2.0 / (nodes_n - 1)
+    dt_ = 1.0 / (nodes_n - 1)
+    # warm the three stage programs (the scan length must match the timed
+    # chunks or the stage recompiles)
+    for eps, lr in [(100.0, 1e-3), (1e3, 5e-4), (1e4, 2e-4)]:
+        strat = SeparableTraining(dx=[dx, dt_], causal=tac, causal_eps=eps)
+        disc = PhysicsInformedNN(net_ac, strat, dtype=jnp.float32,
+                                 matmul_precision="highest",
+                                 adaptive_loss=NonAdaptiveLoss(
+                                     bc_loss_weights=[100.0]))
+        solve(discretize(ac_sys, disc), optax.adam(lr), maxiters=1000,
+              inner_steps=1000)
+    theta = None
+    t0 = time.perf_counter()
+    for eps, lr in [(100.0, 1e-3), (1e3, 5e-4), (1e4, 2e-4)]:
+        strat = SeparableTraining(dx=[dx, dt_], causal=tac, causal_eps=eps)
+        disc = PhysicsInformedNN(net_ac, strat, dtype=jnp.float32,
+                                 matmul_precision="highest",
+                                 adaptive_loss=NonAdaptiveLoss(
+                                     bc_loss_weights=[100.0]))
+        prob_ac = discretize(ac_sys, disc)
+        if theta is not None:
+            prob_ac = prob_ac.with_params(theta)
+        theta = solve(prob_ac, optax.adam(lr), maxiters=15000,
+                      inner_steps=1000).u
+    out["allen_cahn_seconds"] = round(time.perf_counter() - t0, 2)
+    with jax.default_matmul_precision("highest"):
+        pred = net_ac.apply(theta["depvar"], cord)[0]
+    out["allen_cahn_rel_l2"] = float(
+        jnp.linalg.norm(pred - want_ac) / jnp.linalg.norm(want_ac))
+    return out
+
+
 def main():
     import jax
 
@@ -666,97 +853,56 @@ def main():
     # first TPU compilation
     jax.config.update("jax_compilation_cache_dir", "/tmp/neuralpde_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    import jax.numpy as jnp
-    import optax
 
-    import neuralpde_tpu as npde
-    from neuralpde_tpu import (
-        DepVar, Differential, Domain, Eq, Interval, PDESystem,
-        PhysicsInformedNN, StochasticTraining, discretize, mlp, symbols,
-    )
-    from neuralpde_tpu.train import make_step
-
-    x, y = symbols("x y")
-    u = DepVar("u")
-    Dxx = Differential(x) ** 2
-    Dyy = Differential(y) ** 2
-    eq = Eq(Dxx(u(x, y)) + Dyy(u(x, y)),
-            -npde.sin(np.pi * x) * npde.sin(np.pi * y))
-    bcs = [Eq(u(0.0, y), 0.0), Eq(u(1.0, y), 0.0),
-           Eq(u(x, 0.0), 0.0), Eq(u(x, 1.0), 0.0)]
-    system = PDESystem(eq, bcs,
-                       [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))],
-                       [x, y], [u(x, y)])
-    disc = PhysicsInformedNN(mlp([2, HIDDEN, HIDDEN, 1]),
-                             StochasticTraining(BATCH, bcs_points=BATCH // 8,
-                                                microbatch=MICROBATCH),
-                             derivative="jet")  # Taylor-mode: +4% vs nested jvp
-    prob = discretize(system, disc)
-
-    opt = optax.adam(1e-3)
-    lf = prob.pinnrep.loss_functions
-    step = make_step(prob.loss, opt, prob.pinnrep.adaloss,
-                     lf.pde_loss_functions, lf.bc_loss_functions)
-    theta = prob.init_params
-    ada = prob.pinnrep.adaloss.init_state(1, 4, prob.pinnrep.dtype)
-    carry = (theta, opt.init(theta), ada, jnp.asarray(0, jnp.int32))
-    key = jax.random.key(0)
-
-    def multi(carry, key):
-        def body(c, _):
-            return step(c, key)
-        carry, (losses, _) = jax.lax.scan(body, carry, None, length=STEPS_MEASURE)
-        return carry, losses[-1]
-
-    jit_multi = jax.jit(multi)
-    carry, loss = jit_multi(carry, key)        # compile + warmup
-    jax.block_until_ready(loss)
-
-    t0 = time.perf_counter()
-    carry, loss = jit_multi(carry, key)
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
-
-    # FLOPs: XLA cost analysis counts loop bodies once (scan/lax.map), so
-    # analyze an UNCHUNKED twin of one train step — same algorithmic math,
-    # loop-free.  This counts useful FLOPs only (the microbatched program's
-    # per-chunk remat recompute is deliberately excluded from MFU).
-    disc_nf = PhysicsInformedNN(mlp([2, HIDDEN, HIDDEN, 1]),
-                                StochasticTraining(BATCH,
-                                                   bcs_points=BATCH // 8),
-                                derivative="jet")
-    prob_nf = discretize(system, disc_nf)
-    lf_nf = prob_nf.pinnrep.loss_functions
-    step_nf = make_step(prob_nf.loss, opt, prob_nf.pinnrep.adaloss,
-                        lf_nf.pde_loss_functions, lf_nf.bc_loss_functions)
-    theta_nf = prob_nf.init_params
-    carry_nf = (theta_nf, opt.init(theta_nf), ada, jnp.asarray(0, jnp.int32))
-    flops = _compiled_flops(jax.jit(step_nf), carry_nf, key)
-
-    # interior batch + 4 bc batches of BATCH/8 points each, per step
-    points_per_step = BATCH + 4 * (BATCH // 8)
-    pps = points_per_step * STEPS_MEASURE / dt
+    # dense headline: width-64 jet pipeline, microbatched 2M batch
+    pps = _poisson_pps(BATCH, microbatch=MICROBATCH)
+    fpp64 = _flops_per_point(HIDDEN)
     # best-formulation companion number: the separable (SPINN) trial
     # function trains the same 2D-Poisson problem at billions of pts/sec
     # (factorized lowering; `--spinn` for the standalone line, PERF.md)
     spinn, spinn_flops, spinn_dt = spinn_points_per_sec(print_json=False,
                                                         with_flops=True)
-    # width-128 config: the full-MXU datapoint (a 64-wide contraction can
-    # use at most half the 128x128 systolic array; PERF.md roofline table)
-    w128, w128_flops, w128_dt = _poisson_pps(32768, hidden=128, steps=20,
-                                             with_flops=True)
-    print(json.dumps({
+    # wider widths at their own VMEM sweet spots (PERF.md r4: the r3 w128
+    # datapoint at batch 32768 UNCHUNKED sat in the HBM-spilled regime)
+    w128 = _poisson_pps(W128_BATCH, hidden=128, microbatch=W128_MICROBATCH)
+    fpp128 = _flops_per_point(128)
+    w256 = _poisson_pps(W256_BATCH, hidden=256, microbatch=W256_MICROBATCH)
+    fpp256 = _flops_per_point(256)
+    # measured cost of matmul_precision="highest" on the headline configs
+    # (VERDICT r4 item 3)
+    dense_hi = _poisson_pps(BATCH, microbatch=MICROBATCH,
+                            matmul_precision="highest")
+    spinn_hi = spinn_points_per_sec(print_json=False,
+                                    matmul_precision="highest")
+
+    def tf_fields(fpp, pps_, prefix=""):
+        if fpp is None:
+            return {}
+        tflops = fpp * pps_ / 1e12
+        return {prefix + "tflops": round(tflops, 2),
+                prefix + "mfu_pct": round(
+                    100.0 * tflops / MEASURED_MATMUL_TFLOPS, 1)}
+
+    fields = {
         "metric": "2d_poisson_collocation_points_per_sec",
         "value": round(pps, 1),
         "unit": "points/sec",
         "vs_baseline": round(pps / BASELINE_POINTS_PER_SEC, 3),
-        **_mfu_fields(flops, dt, STEPS_MEASURE),
+        **tf_fields(fpp64, pps),
         "spinn_points_per_sec": round(spinn, 1),
         "spinn_vs_baseline": round(spinn / BASELINE_POINTS_PER_SEC, 1),
         **_mfu_fields(spinn_flops, spinn_dt, 20, "spinn_"),
         "w128_points_per_sec": round(w128, 1),
-        **_mfu_fields(w128_flops, w128_dt, 20, "w128_"),
-    }))
+        **tf_fields(fpp128, w128, "w128_"),
+        "w256_points_per_sec": round(w256, 1),
+        **tf_fields(fpp256, w256, "w256_"),
+        "dense_highest_points_per_sec": round(dense_hi, 1),
+        "dense_highest_cost": round(pps / dense_hi, 2),
+        "spinn_highest_points_per_sec": round(spinn_hi, 1),
+        "spinn_highest_cost": round(spinn / spinn_hi, 2),
+    }
+    fields.update(accuracy_suite())
+    print(json.dumps(fields))
 
 
 if __name__ == "__main__":
