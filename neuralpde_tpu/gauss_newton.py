@@ -508,19 +508,26 @@ def trust_region_least_squares(r_fn: Callable, init_params, *,
             return (-pd + disc) / jnp.maximum(dd, eps)
 
         def cond(st):
-            i, p, rr, d, done, hit = st
+            i, p, rr, d, m, done, hit = st
             return (i < cg_iters) & (~done)
 
         def body(st):
-            i, p, rr, d, done, hit = st
+            i, p, rr, d, m, done, hit = st
             Bd = B(d)
             dBd = jnp.vdot(d, Bd)
             rr2 = jnp.vdot(rr, rr)
+            rd = jnp.vdot(rr, d)
             alpha = rr2 / jnp.where(dBd > 0, dBd, 1.0)
             p_try = p + alpha * d
             to_boundary = (dBd <= 0) | (jnp.vdot(p_try, p_try)
                                         >= delta * delta)
-            p_new = jnp.where(to_boundary, p + boundary(p, d) * d, p_try)
+            step = jnp.where(to_boundary, boundary(p, d), alpha)
+            p_new = p + step * d
+            # model value m(p) = gᵀp + ½pᵀBp accumulated along the CG path
+            # (rr is the model gradient at p), so the predicted reduction
+            # needs NO extra B(p) product after the loop — one fewer
+            # jvp+vjp pair per outer iteration (r4, VERDICT item 7)
+            m_new = m + step * rd + 0.5 * step * step * dBd
             rr_new = rr + alpha * Bd
             rr2_new = jnp.vdot(rr_new, rr_new)
             # early-exit tolerance scaled by the iterate dtype: the fixed
@@ -533,17 +540,19 @@ def trust_region_least_squares(r_fn: Callable, init_params, *,
                     p_new,
                     jnp.where(to_boundary, rr, rr_new),
                     jnp.where(to_boundary, d, d_new),
+                    m_new,
                     done | to_boundary | small,
                     hit | to_boundary)
 
         p0 = jnp.zeros_like(g)
-        st = (jnp.asarray(0), p0, g, -g,
+        st = (jnp.asarray(0), p0, g, -g, jnp.zeros((), v.dtype),
               jnp.asarray(False), jnp.asarray(False))
-        _, p, _, _, _, hit = jax.lax.while_loop(cond, body, st)
+        n_inner, p, _, _, m, _, hit = jax.lax.while_loop(cond, body, st)
         # predicted reduction of the ½||r||² model (positive for descent)
-        pred = -(jnp.vdot(g, p) + 0.5 * jnp.vdot(p, B(p)))
+        pred = -m
         v_new = v + p
-        return v_new, loss_of(v_new), pred, jnp.linalg.norm(p), hit
+        return (v_new, loss_of(v_new), pred, jnp.linalg.norm(p), hit,
+                n_inner)
 
     @jax.jit
     def jit_loss(v):
@@ -554,9 +563,11 @@ def trust_region_least_squares(r_fn: Callable, init_params, *,
     delta = float(delta0)
     history = [loss]
     it = 0
+    inner_total = 0
     while it < maxiters:
-        v_new, loss_new, pred, pnorm, hit = tr_step(
+        v_new, loss_new, pred, pnorm, hit, n_inner = tr_step(
             v, jnp.asarray(delta, v.dtype))
+        inner_total += int(n_inner)
         loss_new = float(loss_new)
         if not (np.isfinite(loss_new) and np.isfinite(float(pred))
                 and np.isfinite(float(pnorm))):
@@ -588,7 +599,8 @@ def trust_region_least_squares(r_fn: Callable, init_params, *,
             break   # radius collapsed: no trustable descent direction
 
     return SolveResult(u=unravel(v), objective=loss, iterations=it,
-                       aux={"delta": delta}, history=history)
+                       aux={"delta": delta, "inner_iterations": inner_total},
+                       history=history)
 
 
 def solve_gauss_newton(prob, *, method: str = "lm", adaptive_state=None,

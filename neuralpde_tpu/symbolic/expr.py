@@ -125,6 +125,13 @@ def wrap(x) -> Expr:
         return x
     if isinstance(x, (int, float)):
         return Num(x)
+    # 0-d numpy/JAX scalars, e.g. npde.exp(0.0) evaluated numerically
+    # before entering a symbolic product (concrete values only)
+    if getattr(x, "shape", None) == ():
+        try:
+            return Num(float(x))
+        except TypeError:
+            pass
     raise TypeError(f"cannot use {type(x).__name__} in a symbolic expression")
 
 
