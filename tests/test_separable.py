@@ -690,3 +690,31 @@ def test_phi_inherits_matmul_precision():
     hlo0 = jax.jit(lambda th: prob0.pinnrep.phi(cord, th["depvar"])).lower(
         prob0.init_params).as_text()
     assert "HIGHEST" not in hlo0
+
+
+def test_beltrami_4d_coupled_system_downscaled():
+    """(3+1)-D coupled Navier-Stokes (Beltrami) from the example, tiny:
+    4 separable fields, 4 equations, 22 analytic BCs on a 5^4 grid —
+    gates the flagship example end-to-end (examples/beltrami_spinn.py;
+    full-budget numbers in PERF.md)."""
+    import os
+    import sys
+
+    sys.path.append(os.path.join(os.path.dirname(__file__), "..", "examples"))
+    import beltrami_spinn as bs
+    from neuralpde_tpu import NonAdaptiveLoss
+
+    system = bs.build_system()
+    nets = bs.make_nets(2, hidden=8)
+    strat = SeparableTraining(dx=[0.5, 0.5, 0.5, 0.25], causal=bs.t,
+                              causal_eps=1.0)
+    disc = PhysicsInformedNN(
+        nets, strat, dtype=jnp.float32,
+        adaptive_loss=NonAdaptiveLoss(
+            bc_loss_weights=[100.0] * 3 + [10.0] * 19))
+    prob = discretize(system, disc)
+    res = solve(prob, optax.adam(2e-3), maxiters=40, inner_steps=20)
+    assert np.isfinite(res.objective)
+    assert res.objective < res.history[0]
+    rel = bs.rel_l2_velocities(nets, res.u, n_eval=5)
+    assert np.isfinite(rel) and rel < 2.0
