@@ -924,5 +924,13 @@ if __name__ == "__main__":
         spinn_points_per_sec()
     elif "--to-l2-spinn" in sys.argv:
         time_to_l2_spinn()
+    elif "--accuracy" in sys.argv:
+        # standalone on-chip accuracy suite (the default run includes it)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/neuralpde_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        print(json.dumps({"metric": "accuracy_suite", **accuracy_suite()}))
     else:
         main()
