@@ -51,6 +51,7 @@ from .gauss_newton import (
 from .utils.pytree import vector_to_parameters, parameters_to_vector
 from .nn.dgm import DGM, DGMLSTMLayer
 from .nn.deeponet import DeepONet
+from .nn.fno import FNO1D, SpectralConv1D
 from .nn.separable import SeparableNet, separable_mlp
 from .compile.separable import SeparableTraining, build_separable_residual
 from .solvers import (

@@ -1,0 +1,155 @@
+"""FNO: 1-D Fourier Neural Operator (beyond reference).
+
+A second operator-learning family beside `DeepONet` for `PINOODE`
+(reference scope: src/pino_ode_solve.jl trains DeepONet/MLP operators; the
+reference has no FNO).  The FNO parameterizes the operator kernel in
+Fourier space (Li et al. 2021, "Fourier Neural Operator for Parametric
+PDEs"): each layer applies a per-mode complex channel mixing to the lowest
+`modes` rFFT coefficients along the grid axis plus a pointwise linear
+bypass.  This maps naturally onto TPU: the FFT lowers to XLA's native FFT
+HLO, and both the mode mixing and the pointwise lift/bypass/projection are
+batched matmuls on the MXU.
+
+Discretization invariance: the rFFT/irFFT pair is normalization-consistent
+across grid sizes, so a trained FNO evaluates on ANY uniform grid of the
+same interval (band-limited inputs give matching outputs at shared nodes —
+tested).  The grid MUST be uniform; `solve_pino_ode` enforces GridTraining
+for FNO chains.
+
+Layout follows the package convention (features leading, batch trailing):
+internal fields are ``(channels, T, P)`` with the time grid in the middle
+so the FFT axis is fixed and the channel mixing contracts the leading dim.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import default_float
+from .core import Chain, Dense, Module, gelu
+
+
+def _pointwise(layer: Dense, params, x):
+    """Apply a Dense layer per grid point: (C, T, P) -> (C', T, P)."""
+    c, t, p = x.shape
+    return layer.apply(params, x.reshape(c, t * p)).reshape(-1, t, p)
+
+
+class SpectralConv1D(Module):
+    """Fourier-space channel mixing: keep the lowest `modes` rFFT
+    coefficients along axis 1 and mix channels with one complex
+    (in_channels, out_channels) matrix per retained mode; all higher modes
+    are truncated to zero.  Input/output ``(channels, T, P)``.
+
+    Complex weights are stored as separate real/imag leaves (pytree- and
+    optimizer-friendly); init is centered uniform scaled by
+    ``1/(in_channels * out_channels)`` (the Li et al. reference scale).
+    """
+
+    def __init__(self, in_channels: int, out_channels: int, modes: int):
+        self._in = in_channels
+        self._out = out_channels
+        self.modes = modes
+
+    @property
+    def in_dim(self):
+        return self._in
+
+    @property
+    def out_dim(self):
+        return self._out
+
+    def init(self, key):
+        kr, ki = jax.random.split(key)
+        scale = 1.0 / (self._in * self._out)
+        shape = (self.modes, self._in, self._out)
+        dtype = default_float()
+        return {
+            "w_re": scale * jax.random.uniform(kr, shape, dtype, -1.0, 1.0),
+            "w_im": scale * jax.random.uniform(ki, shape, dtype, -1.0, 1.0),
+        }
+
+    def apply(self, params, x):
+        t = x.shape[1]
+        xf = jnp.fft.rfft(x, axis=1)                      # (C_in, F, P)
+        m = min(self.modes, xf.shape[1])
+        w = jax.lax.complex(params["w_re"][:m].astype(x.dtype),
+                            params["w_im"][:m].astype(x.dtype))
+        yf_low = jnp.einsum("imp,mio->omp", xf[:, :m, :], w)
+        pad = xf.shape[1] - m
+        yf = jnp.pad(yf_low, ((0, 0), (0, pad), (0, 0)))
+        return jnp.fft.irfft(yf, n=t, axis=1)
+
+
+class FNO1D(Module):
+    """1-D Fourier Neural Operator over a uniform time grid, with the
+    `PINOODE` tuple-input calling convention shared with `DeepONet`:
+
+    ``apply(params, (p, t))`` with ``p`` the parameter columns
+    ``(in_channels, P)`` (broadcast over the grid as constant channels) or a
+    full function-valued field ``(in_channels, T, P)``, and ``t`` the
+    uniform query grid ``(1, T)`` appended as a coordinate channel.  Returns
+    ``(T, P)`` when ``out_channels == 1`` (the `DeepONet` layout,
+    solvers/pino.py) else ``(out_channels, T, P)``.
+
+    Architecture: pointwise lift to `width` channels -> `depth` blocks of
+    ``act(SpectralConv1D + pointwise bypass)`` (no activation after the last
+    block) -> two-layer pointwise projection.  Everything is MXU matmuls
+    around XLA FFT ops; there is no Python control flow dependent on data.
+    """
+
+    def __init__(self, in_channels: int, width: int = 32, modes: int = 16,
+                 depth: int = 4, out_channels: int = 1, activation=gelu):
+        self._in = in_channels
+        self.width = width
+        self.modes = modes
+        self.depth = depth
+        self._out = out_channels
+        self.activation = activation
+        self.lift = Dense(in_channels + 1, width)
+        self.spectral = tuple(SpectralConv1D(width, width, modes)
+                              for _ in range(depth))
+        self.bypass = tuple(Dense(width, width) for _ in range(depth))
+        self.proj = Chain(Dense(width, width, activation),
+                          Dense(width, out_channels))
+
+    @property
+    def in_dim(self):
+        return self._in
+
+    @property
+    def out_dim(self):
+        return self._out
+
+    def init(self, key):
+        keys = jax.random.split(key, 2 * self.depth + 2)
+        params = {"lift": self.lift.init(keys[0]),
+                  "proj": self.proj.init(keys[1])}
+        for i in range(self.depth):
+            params[f"spectral_{i}"] = self.spectral[i].init(keys[2 + 2 * i])
+            params[f"bypass_{i}"] = self.bypass[i].init(keys[3 + 2 * i])
+        return params
+
+    def apply(self, params, x):
+        p, t = x
+        tt = t[0]                                          # (T,)
+        n_t = tt.shape[0]
+        if p.ndim == 2:
+            field = jnp.broadcast_to(p[:, None, :],
+                                     (p.shape[0], n_t, p.shape[1]))
+        elif p.ndim == 3:
+            field = p
+        else:
+            raise ValueError("FNO1D input p must be (in_channels, P) or "
+                             f"(in_channels, T, P); got ndim={p.ndim}")
+        t_chan = jnp.broadcast_to(tt[None, :, None],
+                                  (1, n_t, field.shape[2])).astype(field.dtype)
+        v = _pointwise(self.lift, params["lift"],
+                       jnp.concatenate([field, t_chan], axis=0))
+        for i in range(self.depth):
+            y = (self.spectral[i].apply(params[f"spectral_{i}"], v)
+                 + _pointwise(self.bypass[i], params[f"bypass_{i}"], v))
+            v = self.activation(y) if i < self.depth - 1 else y
+        out = _pointwise(self.proj, params["proj"], v)     # (out, T, P)
+        return out[0] if self._out == 1 else out

@@ -19,6 +19,7 @@ import optax
 
 from ..config import default_float
 from ..nn.deeponet import DeepONet
+from ..nn.fno import FNO1D
 from ..strategies import GridTraining, StochasticTraining, TrainingStrategy, julia_range
 from ..train import solve as train_solve
 from .ode import _SimpleProblem
@@ -46,7 +47,12 @@ class PINOPhi:
 
     def __init__(self, module):
         self.module = module
-        self.is_deeponet = isinstance(module, DeepONet)
+        # tuple-input operators share the DeepONet calling convention
+        # ((p, t) -> (T, P)); plain Modules consume stacked vcat(p, t) columns
+        self.is_deeponet = isinstance(module, (DeepONet, FNO1D))
+        # an FNO evaluates fields, not points: single-point grids (the IC
+        # probe) are ill-defined, so the IC is read off the training grid
+        self.is_fno = isinstance(module, FNO1D)
 
     def __call__(self, x, theta):
         return self.module.apply(theta["depvar"], x)
@@ -61,6 +67,25 @@ def _dfdt(phi: PINOPhi, x, theta):
     eps = jnp.sqrt(jnp.finfo(x.dtype).eps)
     shift = jnp.zeros_like(x).at[-1, :].add(eps)
     return (phi(x + shift, theta) - phi(x, theta)) / eps
+
+
+def _grid_dfdt(u, tt):
+    """Second-order FD of a field along its uniform grid axis (axis 0):
+    central interior, one-sided second-order at the ends.
+
+    This is the PINO-correct derivative for an FNO: FD through the
+    t-coordinate channel (`_dfdt`) measures the network's *coordinate
+    sensitivity*, which training can satisfy while the actual node-to-node
+    field drifts freely through the spectral path (measured: residual RMS
+    0.08 with rel-L2 error growing to 0.44 at t=1).  Differentiating the
+    evaluated field itself ties the physics to what the solution returns
+    (Li et al. 2021 PINO trains FNOs with exactly grid/spectral
+    derivatives of the output field)."""
+    h = tt[1] - tt[0]
+    interior = (u[2:] - u[:-2]) / (2 * h)
+    first = (-3 * u[0:1] + 4 * u[1:2] - u[2:3]) / (2 * h)
+    last = (3 * u[-1:] - 4 * u[-2:-1] + u[-3:-2]) / (2 * h)
+    return jnp.concatenate([first, interior, last], axis=0)
 
 
 def _grid_trainset(bounds, n_params, tspan, dt, dtype):
@@ -97,9 +122,16 @@ def _residuals(phi: PINOPhi, prob: ODEProblem, p, t, theta):
             raise ValueError("DeepONet PINOODE supports scalar u0; use an "
                              "MLP chain for ODE systems")
         out = phi((p, t), theta)                              # (T, P)
-        du = _dfdt(phi, (p, t), theta)
-        t0 = jnp.full((1, 1), prob.tspan[0], dtype=t.dtype)
-        u_at_t0 = phi((p, t0), theta)                         # (1, P)
+        if phi.is_fno:
+            # grid-axis FD of the evaluated field, and the IC read off the
+            # first grid row: GridTraining's t grid starts at tspan[0]
+            # (julia_range); a 1-point FFT grid would be DC-only
+            du = _grid_dfdt(out, t[0])
+            u_at_t0 = out[0:1, :]
+        else:
+            du = _dfdt(phi, (p, t), theta)
+            t0 = jnp.full((1, 1), prob.tspan[0], dtype=t.dtype)
+            u_at_t0 = phi((p, t0), theta)                     # (1, P)
 
         def f_one(u_scalar, p_col, t_scalar):
             p_arg = p_col[0] if n_b == 1 else p_col
@@ -193,6 +225,10 @@ def solve_pino_ode(prob: ODEProblem, alg: PINOODE, *, dt=None,
     theta0 = {"depvar": chain_params}
 
     strategy = alg.strategy or StochasticTraining(100)
+    if isinstance(alg.chain, FNO1D) and not isinstance(strategy, GridTraining):
+        raise ValueError("FNO1D requires GridTraining: the FFT along the "
+                         "time axis needs a uniform grid (pass "
+                         "strategy=GridTraining(dt))")
     if isinstance(strategy, GridTraining):
         if strategy.dx is None and dt is None:
             raise ValueError("GridTraining requires dx")
