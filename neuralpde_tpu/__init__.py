@@ -51,14 +51,15 @@ from .gauss_newton import (
 from .utils.pytree import vector_to_parameters, parameters_to_vector
 from .nn.dgm import DGM, DGMLSTMLayer
 from .nn.deeponet import DeepONet
-from .nn.fno import FNO1D, SpectralConv1D
+from .nn.fno import FNO1D, FNO2D, SpectralConv1D, SpectralConv2D
 from .nn.separable import SeparableNet, separable_mlp
 from .compile.separable import SeparableTraining, build_separable_residual
 from .solvers import (
     DAEProblem, DeepGalerkin, DeepRitz, NNDAE, NNODE, NNSDE, ODEPhi,
-    ODEProblem, ODESolution, PINOODE, PINOODESolution, SDEPINN, SDEProblem,
-    SDEsol, discretize_ritz, neural_adapter, solve_dae, solve_ode,
-    solve_pino_ode, solve_sde, solve_sde_weak,
+    ODEProblem, ODESolution, PINOODE, PINOODESolution, PINOPDE,
+    PINOPDESolution, SDEPINN, SDEProblem, SDEsol, discretize_ritz,
+    neural_adapter, solve_dae, solve_ode, solve_pino_ode, solve_pino_pde,
+    solve_sde, solve_sde_weak,
 )
 from .bayesian import (
     BNNODE, BPINNsolution, BPINNstats, ahmc_bayesian_pinn_ode,

@@ -31,9 +31,9 @@ from .core import Chain, Dense, Module, gelu
 
 
 def _pointwise(layer: Dense, params, x):
-    """Apply a Dense layer per grid point: (C, T, P) -> (C', T, P)."""
-    c, t, p = x.shape
-    return layer.apply(params, x.reshape(c, t * p)).reshape(-1, t, p)
+    """Apply a Dense layer per grid point: (C, *grid, P) -> (C', *grid, P)."""
+    rest = x.shape[1:]
+    return layer.apply(params, x.reshape(x.shape[0], -1)).reshape(-1, *rest)
 
 
 class SpectralConv1D(Module):
@@ -80,6 +80,143 @@ class SpectralConv1D(Module):
         pad = xf.shape[1] - m
         yf = jnp.pad(yf_low, ((0, 0), (0, pad), (0, 0)))
         return jnp.fft.irfft(yf, n=t, axis=1)
+
+
+class SpectralConv2D(Module):
+    """2-D Fourier-space channel mixing for fields ``(channels, X, T, P)``:
+    rFFT2 over the two grid axes, keep a low-frequency corner — the first
+    ``modes[1]`` rFFT coefficients along the last grid axis crossed with the
+    first/last ``modes[0]`` rows along the first grid axis (positive and
+    negative frequencies; the standard FNO-2D corner-block scheme, Li et al.
+    2021) — mix channels per retained mode pair, truncate the rest.
+
+    Two complex weight blocks ``(modes_x, modes_t, in, out)`` stored as
+    re/im leaves.  Mode counts are clipped so the two x-frequency blocks
+    never overlap on small grids.
+    """
+
+    def __init__(self, in_channels: int, out_channels: int, modes):
+        self._in = in_channels
+        self._out = out_channels
+        mx, mt = (modes, modes) if isinstance(modes, int) else tuple(modes)
+        self.modes = (int(mx), int(mt))
+
+    @property
+    def in_dim(self):
+        return self._in
+
+    @property
+    def out_dim(self):
+        return self._out
+
+    def init(self, key):
+        keys = jax.random.split(key, 4)
+        scale = 1.0 / (self._in * self._out)
+        shape = (self.modes[0], self.modes[1], self._in, self._out)
+        dtype = default_float()
+        u = lambda k: scale * jax.random.uniform(k, shape, dtype, -1.0, 1.0)
+        return {"w1_re": u(keys[0]), "w1_im": u(keys[1]),
+                "w2_re": u(keys[2]), "w2_im": u(keys[3])}
+
+    def apply(self, params, x):
+        c, nx, nt, p = x.shape
+        xf = jnp.fft.rfft2(x, axes=(1, 2))                # (C, X, F, P)
+        nf = xf.shape[2]
+        mt = min(self.modes[1], nf)
+        # non-overlapping positive/negative x-frequency blocks
+        mx_pos = min(self.modes[0], (nx + 1) // 2)
+        mx_neg = min(self.modes[0], nx // 2)
+
+        def mix(block, w_re, w_im):
+            w = jax.lax.complex(w_re.astype(x.dtype), w_im.astype(x.dtype))
+            return jnp.einsum("ixtp,xtio->oxtp", block, w)
+
+        y1 = mix(xf[:, :mx_pos, :mt, :],
+                 params["w1_re"][:mx_pos, :mt], params["w1_im"][:mx_pos, :mt])
+        yf = jnp.zeros((self._out, nx, nf, p), dtype=xf.dtype)
+        yf = yf.at[:, :mx_pos, :mt, :].set(y1)
+        if mx_neg > 0:
+            y2 = mix(xf[:, -mx_neg:, :mt, :],
+                     params["w2_re"][:mx_neg, :mt],
+                     params["w2_im"][:mx_neg, :mt])
+            yf = yf.at[:, -mx_neg:, :mt, :].set(y2)
+        return jnp.fft.irfft2(yf, s=(nx, nt), axes=(1, 2))
+
+
+class FNO2D(Module):
+    """2-D Fourier Neural Operator over a uniform tensor grid (the operator
+    backbone of `solve_pino_pde`):
+
+    ``apply(params, (p, (x, t)))`` with ``p`` the parameter columns
+    ``(in_channels, P)`` (broadcast over the grid as constant channels) or a
+    function-valued field ``(in_channels, X, T, P)``, and ``(x, t)`` the two
+    uniform grid coordinate arrays (``(Xi,)`` or ``(1, Xi)``), appended as
+    coordinate channels.  Returns ``(X, T, P)`` when ``out_channels == 1``
+    else ``(out_channels, X, T, P)``.
+
+    Same block structure as `FNO1D`: pointwise lift -> depth ×
+    ``act(SpectralConv2D + pointwise bypass)`` -> two-layer projection.
+    """
+
+    def __init__(self, in_channels: int, width: int = 32, modes=12,
+                 depth: int = 4, out_channels: int = 1, activation=gelu):
+        self._in = in_channels
+        self.width = width
+        mx, mt = (modes, modes) if isinstance(modes, int) else tuple(modes)
+        self.modes = (int(mx), int(mt))
+        self.depth = depth
+        self._out = out_channels
+        self.activation = activation
+        self.lift = Dense(in_channels + 2, width)
+        self.spectral = tuple(SpectralConv2D(width, width, self.modes)
+                              for _ in range(depth))
+        self.bypass = tuple(Dense(width, width) for _ in range(depth))
+        self.proj = Chain(Dense(width, width, activation),
+                          Dense(width, out_channels))
+
+    @property
+    def in_dim(self):
+        return self._in
+
+    @property
+    def out_dim(self):
+        return self._out
+
+    def init(self, key):
+        keys = jax.random.split(key, 2 * self.depth + 2)
+        params = {"lift": self.lift.init(keys[0]),
+                  "proj": self.proj.init(keys[1])}
+        for i in range(self.depth):
+            params[f"spectral_{i}"] = self.spectral[i].init(keys[2 + 2 * i])
+            params[f"bypass_{i}"] = self.bypass[i].init(keys[3 + 2 * i])
+        return params
+
+    def apply(self, params, x):
+        p, grids = x
+        xx = jnp.ravel(jnp.asarray(grids[0]))
+        tt = jnp.ravel(jnp.asarray(grids[1]))
+        nx, nt = xx.shape[0], tt.shape[0]
+        if p.ndim == 2:
+            field = jnp.broadcast_to(p[:, None, None, :],
+                                     (p.shape[0], nx, nt, p.shape[1]))
+        elif p.ndim == 4:
+            field = p
+        else:
+            raise ValueError("FNO2D input p must be (in_channels, P) or "
+                             f"(in_channels, X, T, P); got ndim={p.ndim}")
+        n_p = field.shape[3]
+        x_chan = jnp.broadcast_to(xx[None, :, None, None],
+                                  (1, nx, nt, n_p)).astype(field.dtype)
+        t_chan = jnp.broadcast_to(tt[None, None, :, None],
+                                  (1, nx, nt, n_p)).astype(field.dtype)
+        v = _pointwise(self.lift, params["lift"],
+                       jnp.concatenate([field, x_chan, t_chan], axis=0))
+        for i in range(self.depth):
+            y = (self.spectral[i].apply(params[f"spectral_{i}"], v)
+                 + _pointwise(self.bypass[i], params[f"bypass_{i}"], v))
+            v = self.activation(y) if i < self.depth - 1 else y
+        out = _pointwise(self.proj, params["proj"], v)     # (out, X, T, P)
+        return out[0] if self._out == 1 else out
 
 
 class FNO1D(Module):

@@ -1,0 +1,181 @@
+"""PINOPDE: physics-informed neural operator for parametric PDE families
+(beyond reference — the reference's PINO surface is ODE-only,
+src/pino_ode_solve.jl; this extends the same calling conventions to
+`PDESystem` problems with an FNO backbone).
+
+Learns the solution operator ``(p1, ..., pk) -> u(x, t)`` of a symbolic
+`PDESystem` whose `ps` parameters range over given bounds.  One FNO
+evaluation produces the whole solution field on the training tensor grid
+for every parameter sample at once; the symbolic equations and boundary
+conditions lower onto that field through `compile/fieldgrid.py` (grid-axis
+FD derivatives, boundary slices).  The loss is the mean-square of every
+equation's residual field plus every boundary condition's slice residual —
+a single XLA program over ``(N1, ..., Nd, P)`` tensors, all MXU matmuls
+around XLA FFTs.
+"""
+
+from __future__ import annotations
+
+import contextlib
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import default_float
+from ..compile.fieldgrid import FieldGridContext, build_field_residual
+from ..nn.fno import FNO1D, FNO2D
+from ..strategies import GridTraining, TrainingStrategy, julia_range
+from ..symbolic.system import PDESystem, infimum, supremum
+from ..train import solve as train_solve
+from .ode import _SimpleProblem
+
+
+@dataclass
+class PINOPDE:
+    """chain: `FNO2D` (two independent variables) or `FNO1D` (one);
+    bounds: list of (lb, ub) per `PDESystem.ps` parameter, declaration
+    order; number_of_parameters: train-set size along the parameter axis.
+    matmul_precision: dot-precision context for the loss (the round-3
+    finding: TPU default f32 matmuls run bf16 passes; "highest" restores
+    true-f32 accuracy floors)."""
+
+    chain: Any
+    opt: Any = None
+    bounds: Any = None
+    number_of_parameters: int = 50
+    init_params: Any = None
+    strategy: TrainingStrategy | None = None
+    additional_loss: Callable | None = None
+    matmul_precision: str | None = None
+    seed: int = 0
+
+
+@dataclass
+class PINOPDESolution:
+    """``sol(p)`` / ``sol(p, grids)`` evaluates the trained operator at
+    parameter columns ``(n_ps, P)`` on the training grid or on any uniform
+    grids over the same domains (FNO discretization transfer)."""
+
+    u: Any                     # field(s) on the training grid
+    grids: Any                 # training grid node arrays, ivs order
+    p: Any                     # training parameter columns (n_ps, P)
+    depvars: Any
+    interp: Any
+    original: Any
+    retcode: str = "Success"
+
+    def __call__(self, p=None, grids=None):
+        p = self.p if p is None else jnp.atleast_2d(jnp.asarray(p))
+        return self.interp(p, self.grids if grids is None else
+                           [jnp.ravel(jnp.asarray(g)) for g in grids])
+
+
+def _validate(pde_system: PDESystem, alg: PINOPDE):
+    ivs = [v.name for v in pde_system.ivs]
+    if isinstance(alg.chain, FNO2D):
+        if len(ivs) != 2:
+            raise ValueError(f"FNO2D expects 2 independent variables, the "
+                             f"system has {len(ivs)} ({ivs})")
+    elif isinstance(alg.chain, FNO1D):
+        if len(ivs) != 1:
+            raise ValueError(f"FNO1D expects 1 independent variable, the "
+                             f"system has {len(ivs)} ({ivs})")
+    else:
+        raise ValueError("PINOPDE requires an FNO chain (FNO2D for 2-D "
+                         "systems, FNO1D for 1-D); for pointwise networks "
+                         "use PhysicsInformedNN")
+    for d in pde_system.dvs:
+        args = [a.name for a in d.args]
+        if args != ivs:
+            raise ValueError(
+                f"field depvar {d.name} must be declared on all independent "
+                f"variables in order ({ivs}); got {args}")
+    if not pde_system.ps:
+        raise ValueError("PINOPDE learns a parametric family: the PDESystem "
+                         "needs `ps` parameters (with PINOPDE bounds)")
+    if alg.bounds is None or len(alg.bounds) != len(pde_system.ps):
+        raise ValueError(f"PINOPDE requires one (lb, ub) bound per system "
+                         f"parameter ({len(pde_system.ps)})")
+    if alg.chain.in_dim != len(pde_system.ps):
+        raise ValueError(f"chain in_channels ({alg.chain.in_dim}) must equal "
+                         f"the number of parameters ({len(pde_system.ps)})")
+    if alg.chain.out_dim != len(pde_system.dvs):
+        raise ValueError(f"chain out_channels ({alg.chain.out_dim}) must "
+                         f"equal the number of depvars ({len(pde_system.dvs)})")
+
+
+def solve_pino_pde(pde_system: PDESystem, alg: PINOPDE, *,
+                   abstol: float = 1e-8, verbose: bool = False,
+                   maxiters: int = 1000, key=None,
+                   inner_steps: int = 1) -> PINOPDESolution:
+    dtype = default_float()
+    _validate(pde_system, alg)
+    ivs = [v.name for v in pde_system.ivs]
+    depvars = [d.name for d in pde_system.dvs]
+
+    strategy = alg.strategy
+    if not isinstance(strategy, GridTraining) or strategy.dx is None:
+        raise ValueError("PINOPDE requires GridTraining(dx): the FNO's FFT "
+                         "axes need a uniform tensor grid")
+    dxs = (list(strategy.dx) if isinstance(strategy.dx, (list, tuple))
+           else [strategy.dx] * len(ivs))
+    dom = {d.variables.name: d.domain for d in pde_system.domains}
+    grids = [jnp.asarray(julia_range(infimum(dom[n]), supremum(dom[n]), h),
+                         dtype=dtype) for n, h in zip(ivs, dxs)]
+
+    bounds = [tuple(map(float, b)) for b in alg.bounds]
+    p_tr = jnp.asarray(np.stack([np.linspace(b[0], b[1],
+                                             alg.number_of_parameters)
+                                 for b in bounds]), dtype=dtype)   # (n_ps, P)
+
+    ctx = FieldGridContext(
+        iv_names=ivs, grids=grids,
+        dict_depvar_input={d.name: [a.name for a in d.args]
+                           for d in pde_system.dvs},
+        eq_params=[p.name for p in pde_system.ps])
+    residuals = [build_field_residual(eq, ctx)
+                 for eq in pde_system.eqs + pde_system.bcs]
+
+    chain = alg.chain
+    n_dv = len(depvars)
+
+    def eval_fields(theta, p_cols, gs):
+        x_in = (p_cols, tuple(gs)) if isinstance(chain, FNO2D) \
+            else (p_cols, gs[0][None, :])
+        out = chain.apply(theta, x_in)
+        if n_dv == 1:
+            return {depvars[0]: out}
+        return {name: out[i] for i, name in enumerate(depvars)}
+
+    prec = (jax.default_matmul_precision(alg.matmul_precision)
+            if alg.matmul_precision is not None else contextlib.nullcontext())
+
+    def total_loss(theta, lkey):
+        with prec:
+            fields = eval_fields(theta["depvar"], p_tr, grids)
+            loss = sum(jnp.mean(r(fields, p_tr) ** 2) for r in residuals)
+            if alg.additional_loss is not None:
+                loss = loss + alg.additional_loss(fields, theta)
+        return loss
+
+    chain_params = (chain.init(jax.random.key(alg.seed))
+                    if alg.init_params is None else alg.init_params)
+    opt = alg.opt or optax.adam(1e-3)
+    res = train_solve(_SimpleProblem(total_loss, {"depvar": chain_params}),
+                      opt, maxiters=maxiters, abstol=abstol, verbose=verbose,
+                      key=key, inner_steps=inner_steps)
+
+    def interp(p_cols, gs):
+        with prec:
+            fields = eval_fields(res.u["depvar"], p_cols, gs)
+        if n_dv == 1:
+            return fields[depvars[0]]
+        return jnp.stack([fields[n] for n in depvars])
+
+    u = interp(p_tr, grids)
+    return PINOPDESolution(u=u, grids=grids, p=p_tr, depvars=depvars,
+                           interp=interp, original=res)

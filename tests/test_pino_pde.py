@@ -1,0 +1,264 @@
+"""PINOPDE / field-grid lowering tests (beyond reference: the reference's
+PINO surface is ODE-only, src/pino_ode_solve.jl — this extends the operator
+family to symbolic `PDESystem` problems on an FNO backbone)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from neuralpde_tpu import (
+    FNO1D, FNO2D, GridTraining, PDESystem, PINOPDE, SpectralConv2D,
+    StochasticTraining, solve_pino_pde,
+)
+from neuralpde_tpu.compile.fieldgrid import (
+    FieldGridContext, build_field_residual, grid_diff,
+)
+from neuralpde_tpu.symbolic import expr as E
+from neuralpde_tpu.symbolic.system import Domain, Interval
+
+PI = float(np.pi)
+
+
+# ---------------------------------------------------------------- grid_diff
+
+def _fd_error(n, order):
+    xs = jnp.linspace(0.0, 1.0, n, dtype=jnp.float64)
+    h = float(xs[1] - xs[0])
+    u = jnp.sin(2 * xs)[:, None]
+    d = grid_diff(u, h, 0, order)
+    want = (2 * jnp.cos(2 * xs) if order == 1 else -4 * jnp.sin(2 * xs))
+    return float(jnp.max(jnp.abs(d[:, 0] - want)))
+
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_grid_diff_second_order_convergence(order):
+    """Interior + one-sided boundary stencils are all second order: halving
+    h shrinks the max error ~4x (boundary rows included in the max)."""
+    e1, e2 = _fd_error(33, order), _fd_error(65, order)
+    assert e1 / e2 > 3.0
+
+
+def test_grid_diff_higher_order_composes():
+    xs = jnp.linspace(0.0, 1.0, 129, dtype=jnp.float64)
+    h = float(xs[1] - xs[0])
+    d3 = grid_diff(jnp.sin(xs)[:, None], h, 0, 3)[5:-5, 0]
+    np.testing.assert_allclose(np.asarray(d3), -np.cos(np.asarray(xs[5:-5])),
+                               atol=5e-3)
+
+
+def test_grid_diff_rejects_tiny_grids():
+    with pytest.raises(ValueError, match="grid nodes"):
+        grid_diff(jnp.ones((2, 1)), 0.5, 0, 1)
+
+
+# ----------------------------------------------------- field-grid lowering
+
+def _ctx(nx=9, nt=7):
+    return FieldGridContext(
+        iv_names=["x", "t"],
+        grids=[jnp.linspace(0.0, 1.0, nx), jnp.linspace(0.0, 2.0, nt)],
+        dict_depvar_input={"u": ["x", "t"]},
+        eq_params=["nu"])
+
+
+def test_field_residual_matches_manual_fd():
+    """Interior lowering of Dt(u) - nu*Dxx(u) on a manufactured field equals
+    the hand-built FD arrays."""
+    x, t = E.Sym("x"), E.Sym("t")
+    nu, u = E.Param("nu"), E.DepVar("u")
+    eq = E.Eq(E.Deriv(u(x, t), (t,)), nu * E.Deriv(u(x, t), (x, x)))
+    ctx = _ctx()
+    res = build_field_residual(eq, ctx)
+    key = jax.random.key(0)
+    field = jax.random.normal(key, (9, 7, 3))
+    p = jnp.asarray([[0.5, 1.0, 2.0]])
+    got = res({"u": field}, p)
+    hx, ht = ctx.spacings
+    want = (grid_diff(field, ht, 1, 1)
+            - p[0].reshape(1, 1, 3) * grid_diff(field, hx, 0, 2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_boundary_condition_lowers_to_slice():
+    """u(0, t) ~ sin(pi t) pins x to node 0 -> residual shape (1, T, P)."""
+    x, t, u = E.Sym("x"), E.Sym("t"), E.DepVar("u")
+    bc = E.Eq(u(E.Num(0.0), t), E.sin(E.Num(PI) * t))
+    ctx = _ctx()
+    res = build_field_residual(bc, ctx)
+    field = jnp.zeros((9, 7, 2))
+    out = res({"u": field}, jnp.zeros((1, 2)))
+    assert out.shape == (1, 7, 2)
+    want = -np.sin(PI * np.asarray(ctx.grids[1]))[None, :, None]
+    np.testing.assert_allclose(np.asarray(out),
+                               np.broadcast_to(want, (1, 7, 2)), atol=1e-6)
+
+
+def test_boundary_derivative_condition():
+    """Dx(u)(1, t) ~ 0 takes the full-axis FD first, then slices the last
+    x-row (the one-sided boundary stencil makes that row second-order)."""
+    x, t, u = E.Sym("x"), E.Sym("t"), E.DepVar("u")
+    bc = E.Eq(E.Deriv(u(E.Num(1.0), t), (x,)), E.Num(0.0))
+    ctx = _ctx()
+    res = build_field_residual(bc, ctx)
+    field = jax.random.normal(jax.random.key(1), (9, 7, 2))
+    out = res({"u": field}, jnp.zeros((1, 2)))
+    want = grid_diff(field, ctx.spacings[0], 0, 1)[-1:, :, :]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-6)
+
+
+def test_derivative_wrt_nongrid_variable_is_zero():
+    x, t, u = E.Sym("x"), E.Sym("t"), E.DepVar("u")
+    z = E.Sym("z")
+    eq = E.Eq(E.Deriv(u(x, t), (z,)), E.Num(0.0))
+    out = build_field_residual(eq, _ctx())({"u": jnp.ones((9, 7, 1))},
+                                           jnp.zeros((1, 1)))
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+def test_offgrid_boundary_constant_raises():
+    x, t, u = E.Sym("x"), E.Sym("t"), E.DepVar("u")
+    bc = E.Eq(u(E.Num(0.31), t), E.Num(0.0))
+    res = build_field_residual(bc, _ctx())
+    with pytest.raises(ValueError, match="not a grid node"):
+        res({"u": jnp.zeros((9, 7, 1))}, jnp.zeros((1, 1)))
+
+
+def test_noncanonical_call_argument_raises():
+    """u(t, x) (swapped arguments) is rejected — fields live on the grid in
+    declaration order; transposed calls need the pointwise path."""
+    x, t, u = E.Sym("x"), E.Sym("t"), E.DepVar("u")
+    eq = E.Eq(u(t, x), E.Num(0.0))
+    res = build_field_residual(eq, _ctx())
+    with pytest.raises(ValueError, match="canonical"):
+        res({"u": jnp.zeros((9, 7, 1))}, jnp.zeros((1, 1)))
+
+
+def test_integral_terms_rejected():
+    x, t, u = E.Sym("x"), E.Sym("t"), E.DepVar("u")
+    ix = E.Integral(x, 0.0, 1.0)
+    eq = E.Eq(ix(u(x, t)), E.Num(0.0))
+    res = build_field_residual(eq, _ctx())
+    with pytest.raises(NotImplementedError, match="integral"):
+        res({"u": jnp.zeros((9, 7, 1))}, jnp.zeros((1, 1)))
+
+
+# ------------------------------------------------------------ SpectralConv2D
+
+def test_spectral_conv2d_shapes_and_mode_clip():
+    layer = SpectralConv2D(3, 5, modes=64)     # modes > grid: clipped
+    params = layer.init(jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (3, 12, 10, 4), jnp.float32)
+    y = layer.apply(params, x)
+    assert y.shape == (5, 12, 10, 4)
+    assert jnp.isfinite(y).all()
+
+
+def test_spectral_conv2d_resolution_consistency():
+    """Band-limited periodic input at (N, N) and (2N, 2N) gives matching
+    outputs on the shared nodes (2-D discretization invariance)."""
+    layer = SpectralConv2D(1, 1, modes=(3, 3))
+    params = layer.init(jax.random.key(2))
+
+    def run(n):
+        g = jnp.arange(n) / n
+        f = (jnp.sin(2 * jnp.pi * g)[:, None]
+             * jnp.cos(2 * jnp.pi * g)[None, :])
+        return layer.apply(params, f[None, :, :, None])[0, :, :, 0]
+
+    coarse, fine = run(16), run(32)
+    np.testing.assert_allclose(np.asarray(coarse),
+                               np.asarray(fine[::2, ::2]), atol=1e-5)
+
+
+def test_fno2d_input_layouts():
+    net = FNO2D(in_channels=2, width=8, modes=4, depth=2)
+    params = net.init(jax.random.key(0))
+    gx, gt = jnp.linspace(0, 1, 9), jnp.linspace(0, 1, 7)
+    p_cols = jax.random.normal(jax.random.key(1), (2, 5), jnp.float32)
+    out = net.apply(params, (p_cols, (gx, gt)))
+    assert out.shape == (9, 7, 5)
+    p_field = jnp.broadcast_to(p_cols[:, None, None, :], (2, 9, 7, 5))
+    out2 = net.apply(params, (p_field, (gx, gt)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
+    with pytest.raises(ValueError, match="ndim"):
+        net.apply(params, (p_cols[0], (gx, gt)))
+
+
+def test_fno2d_vector_output_shape():
+    net = FNO2D(in_channels=1, width=8, modes=4, depth=2, out_channels=3)
+    params = net.init(jax.random.key(0))
+    out = net.apply(params, (jnp.ones((1, 4)),
+                             (jnp.linspace(0, 1, 9), jnp.linspace(0, 1, 7))))
+    assert out.shape == (3, 9, 7, 4)
+
+
+# ----------------------------------------------------------------- PINOPDE
+
+def _heat_system():
+    x, t = E.Sym("x"), E.Sym("t")
+    nu, u = E.Param("nu"), E.DepVar("u")
+    eq = E.Eq(E.Deriv(u(x, t), (t,)), nu * E.Deriv(u(x, t), (x, x)))
+    bcs = [E.Eq(u(x, E.Num(0.0)), E.sin(E.Num(PI) * x)),
+           E.Eq(u(E.Num(0.0), t), E.Num(0.0)),
+           E.Eq(u(E.Num(1.0), t), E.Num(0.0))]
+    return PDESystem(eq, bcs,
+                     [Domain(x, Interval(0.0, 1.0)),
+                      Domain(t, Interval(0.0, 1.0))],
+                     ivs=[x, t], dvs=[u(x, t)], ps=[nu])
+
+
+def test_pino_pde_validation_errors():
+    sysd = _heat_system()
+    mk = lambda **kw: PINOPDE(chain=FNO2D(1, width=8, modes=4, depth=2),
+                              bounds=[(0.05, 0.5)],
+                              strategy=GridTraining(0.25), **kw)
+    with pytest.raises(ValueError, match="GridTraining"):
+        solve_pino_pde(sysd, PINOPDE(chain=FNO2D(1, width=8, modes=4,
+                                                 depth=2),
+                                     bounds=[(0.05, 0.5)],
+                                     strategy=StochasticTraining(16)),
+                       maxiters=1)
+    with pytest.raises(ValueError, match="one .lb, ub. bound"):
+        solve_pino_pde(sysd, PINOPDE(chain=FNO2D(1, width=8, modes=4,
+                                                 depth=2),
+                                     strategy=GridTraining(0.25)), maxiters=1)
+    with pytest.raises(ValueError, match="in_channels"):
+        solve_pino_pde(sysd, PINOPDE(chain=FNO2D(2, width=8, modes=4,
+                                                 depth=2),
+                                     bounds=[(0.05, 0.5)],
+                                     strategy=GridTraining(0.25)), maxiters=1)
+    # non-parametric system
+    nop = _heat_system()
+    nop.ps = []
+    nop.eqs = [E.Eq(E.Deriv(E.DepVar("u")(E.Sym("x"), E.Sym("t")),
+                            (E.Sym("t"),)), E.Num(0.0))]
+    with pytest.raises(ValueError, match="parametric"):
+        solve_pino_pde(nop, mk(), maxiters=1)
+    # FNO1D on a 2-iv system
+    with pytest.raises(ValueError, match="1 independent variable"):
+        solve_pino_pde(sysd, PINOPDE(chain=FNO1D(1, width=8, modes=4,
+                                                 depth=2),
+                                     bounds=[(0.05, 0.5)],
+                                     strategy=GridTraining(0.25)), maxiters=1)
+
+
+def test_pino_pde_heat_family():
+    """Parametric heat equation u_t = nu u_xx over nu in [0.05, 0.5]: one
+    trained operator, evaluated off the training parameter set AND on a
+    finer grid (33 > 17 training nodes), against the analytic
+    exp(-nu pi^2 t) sin(pi x)."""
+    sysd = _heat_system()
+    alg = PINOPDE(chain=FNO2D(1, width=16, modes=6, depth=2),
+                  opt=optax.adam(3e-3), bounds=[(0.05, 0.5)],
+                  number_of_parameters=10, strategy=GridTraining(1 / 16))
+    sol = solve_pino_pde(sysd, alg, maxiters=800, inner_steps=25)
+    assert sol.u.shape == (17, 17, 10)
+    gx, gt = np.linspace(0, 1, 33), np.linspace(0, 1, 33)
+    ps = np.linspace(0.1, 0.45, 7)
+    pred = np.asarray(sol(p=ps[None, :], grids=[gx, gt]))
+    want = (np.exp(-ps[None, None, :] * PI**2 * gt[None, :, None])
+            * np.sin(PI * gx[:, None, None]))
+    rel = np.linalg.norm(pred - want) / np.linalg.norm(want)
+    assert rel < 0.15, rel
