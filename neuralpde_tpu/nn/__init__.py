@@ -5,5 +5,5 @@ from .core import (
     softplus, swish, tanh, zeros_init,
 )
 from .adapters import FlaxAdapter, HaikuAdapter  # noqa: F401
-from .fno import FNO1D, FNO2D, SpectralConv1D, SpectralConv2D  # noqa: F401
+from .fno import FNO1D, FNO2D, FNO3D, SpectralConv1D, SpectralConv2D, SpectralConv3D  # noqa: F401
 from .separable import SeparableNet, separable_mlp  # noqa: F401

@@ -219,6 +219,145 @@ class FNO2D(Module):
         return out[0] if self._out == 1 else out
 
 
+class SpectralConv3D(Module):
+    """3-D Fourier-space channel mixing for fields
+    ``(channels, N1, N2, N3, P)``: rFFTn over the three grid axes, keep the
+    low-frequency corner blocks — the first ``modes[2]`` rFFT coefficients
+    along the last grid axis crossed with positive/negative frequency rows
+    along the two full-FFT axes (2^2 = 4 corner blocks; the FNO-3D scheme
+    of Li et al. 2021) — mix channels per retained mode triple, truncate
+    the rest.
+
+    Four complex weight blocks ``(m1, m2, m3, in, out)`` stored as re/im
+    leaves; mode counts are clipped so sign blocks never overlap on small
+    grids.
+    """
+
+    def __init__(self, in_channels: int, out_channels: int, modes):
+        self._in = in_channels
+        self._out = out_channels
+        m = (modes,) * 3 if isinstance(modes, int) else tuple(modes)
+        self.modes = tuple(int(v) for v in m)
+
+    @property
+    def in_dim(self):
+        return self._in
+
+    @property
+    def out_dim(self):
+        return self._out
+
+    def init(self, key):
+        keys = jax.random.split(key, 8)
+        scale = 1.0 / (self._in * self._out)
+        shape = (*self.modes, self._in, self._out)
+        dtype = default_float()
+        u = lambda k: scale * jax.random.uniform(k, shape, dtype, -1.0, 1.0)
+        return {f"w{b}_{c}": u(keys[2 * b + (c == "im")])
+                for b in range(4) for c in ("re", "im")}
+
+    def apply(self, params, x):
+        c, n1, n2, n3, p = x.shape
+        xf = jnp.fft.rfftn(x, axes=(1, 2, 3))             # (C, N1, N2, F, P)
+        m3 = min(self.modes[2], xf.shape[3])
+        pos1 = min(self.modes[0], (n1 + 1) // 2)
+        neg1 = min(self.modes[0], n1 // 2)
+        pos2 = min(self.modes[1], (n2 + 1) // 2)
+        neg2 = min(self.modes[1], n2 // 2)
+        # the 4 sign corners along the two full-FFT axes, (slice, kept) pairs
+        ax1 = ((slice(0, pos1), pos1), (slice(n1 - neg1, n1), neg1))
+        ax2 = ((slice(0, pos2), pos2), (slice(n2 - neg2, n2), neg2))
+
+        yf = jnp.zeros((self._out, n1, n2, xf.shape[3], p), dtype=xf.dtype)
+        for b, ((s1, k1), (s2, k2)) in enumerate(
+                (i, j) for i in ax1 for j in ax2):
+            if k1 == 0 or k2 == 0:
+                continue
+            w = jax.lax.complex(
+                params[f"w{b}_re"][:k1, :k2, :m3].astype(x.dtype),
+                params[f"w{b}_im"][:k1, :k2, :m3].astype(x.dtype))
+            y = jnp.einsum("ixyzp,xyzio->oxyzp", xf[:, s1, s2, :m3, :], w)
+            yf = yf.at[:, s1, s2, :m3, :].set(y)
+        return jnp.fft.irfftn(yf, s=(n1, n2, n3), axes=(1, 2, 3))
+
+
+class FNO3D(Module):
+    """3-D Fourier Neural Operator over a uniform tensor grid — the
+    `solve_pino_pde` backbone for systems with three independent variables
+    (e.g. 2-D + time families):
+
+    ``apply(params, (p, (g1, g2, g3)))`` with ``p`` the parameter columns
+    ``(in_channels, P)`` (broadcast over the grid as constant channels) or
+    a function-valued field ``(in_channels, N1, N2, N3, P)``, and the three
+    uniform grid coordinate arrays appended as coordinate channels.
+    Returns ``(N1, N2, N3, P)`` when ``out_channels == 1`` else
+    ``(out_channels, N1, N2, N3, P)``.
+
+    Same block structure as `FNO1D`/`FNO2D`: pointwise lift -> depth ×
+    ``act(SpectralConv3D + pointwise bypass)`` -> two-layer projection.
+    """
+
+    def __init__(self, in_channels: int, width: int = 24, modes=8,
+                 depth: int = 4, out_channels: int = 1, activation=gelu):
+        self._in = in_channels
+        self.width = width
+        m = (modes,) * 3 if isinstance(modes, int) else tuple(modes)
+        self.modes = tuple(int(v) for v in m)
+        self.depth = depth
+        self._out = out_channels
+        self.activation = activation
+        self.lift = Dense(in_channels + 3, width)
+        self.spectral = tuple(SpectralConv3D(width, width, self.modes)
+                              for _ in range(depth))
+        self.bypass = tuple(Dense(width, width) for _ in range(depth))
+        self.proj = Chain(Dense(width, width, activation),
+                          Dense(width, out_channels))
+
+    @property
+    def in_dim(self):
+        return self._in
+
+    @property
+    def out_dim(self):
+        return self._out
+
+    def init(self, key):
+        keys = jax.random.split(key, 2 * self.depth + 2)
+        params = {"lift": self.lift.init(keys[0]),
+                  "proj": self.proj.init(keys[1])}
+        for i in range(self.depth):
+            params[f"spectral_{i}"] = self.spectral[i].init(keys[2 + 2 * i])
+            params[f"bypass_{i}"] = self.bypass[i].init(keys[3 + 2 * i])
+        return params
+
+    def apply(self, params, x):
+        p, grids = x
+        gs = [jnp.ravel(jnp.asarray(g)) for g in grids]
+        ns = tuple(g.shape[0] for g in gs)
+        if p.ndim == 2:
+            field = jnp.broadcast_to(p[:, None, None, None, :],
+                                     (p.shape[0], *ns, p.shape[1]))
+        elif p.ndim == 5:
+            field = p
+        else:
+            raise ValueError("FNO3D input p must be (in_channels, P) or "
+                             f"(in_channels, N1, N2, N3, P); got "
+                             f"ndim={p.ndim}")
+        n_p = field.shape[4]
+        coord = [jnp.broadcast_to(
+            g.reshape((1,) + tuple(n if a == i else 1
+                                   for i, n in enumerate(ns)) + (1,)),
+            (1, *ns, n_p)).astype(field.dtype) for a, g in enumerate(gs)]
+        v = _pointwise(self.lift, params["lift"],
+                       jnp.concatenate([field, *coord], axis=0))
+        for i in range(self.depth):
+            y = (self.spectral[i].apply(params[f"spectral_{i}"], v)
+                 + _pointwise(self.bypass[i], params[f"bypass_{i}"], v))
+            v = self.activation(y) if i < self.depth - 1 else y
+        out = _pointwise(self.proj, params["proj"], v)
+        return out[0] if self._out == 1 else out
+
+
 class FNO1D(Module):
     """1-D Fourier Neural Operator over a uniform time grid, with the
     `PINOODE` tuple-input calling convention shared with `DeepONet`:

@@ -27,7 +27,7 @@ import optax
 
 from ..config import default_float
 from ..compile.fieldgrid import FieldGridContext, build_field_residual
-from ..nn.fno import FNO1D, FNO2D
+from ..nn.fno import FNO1D, FNO2D, FNO3D
 from ..strategies import GridTraining, TrainingStrategy, julia_range
 from ..symbolic.system import PDESystem, infimum, supremum
 from ..train import solve as train_solve
@@ -36,7 +36,8 @@ from .ode import _SimpleProblem
 
 @dataclass
 class PINOPDE:
-    """chain: `FNO2D` (two independent variables) or `FNO1D` (one);
+    """chain: `FNO3D`/`FNO2D`/`FNO1D` matching the system's
+    independent-variable count;
     bounds: list of (lb, ub) per `PDESystem.ps` parameter, declaration
     order; number_of_parameters: train-set size along the parameter axis.
     matmul_precision: dot-precision context for the loss (the round-3
@@ -76,7 +77,11 @@ class PINOPDESolution:
 
 def _validate(pde_system: PDESystem, alg: PINOPDE):
     ivs = [v.name for v in pde_system.ivs]
-    if isinstance(alg.chain, FNO2D):
+    if isinstance(alg.chain, FNO3D):
+        if len(ivs) != 3:
+            raise ValueError(f"FNO3D expects 3 independent variables, the "
+                             f"system has {len(ivs)} ({ivs})")
+    elif isinstance(alg.chain, FNO2D):
         if len(ivs) != 2:
             raise ValueError(f"FNO2D expects 2 independent variables, the "
                              f"system has {len(ivs)} ({ivs})")
@@ -85,9 +90,9 @@ def _validate(pde_system: PDESystem, alg: PINOPDE):
             raise ValueError(f"FNO1D expects 1 independent variable, the "
                              f"system has {len(ivs)} ({ivs})")
     else:
-        raise ValueError("PINOPDE requires an FNO chain (FNO2D for 2-D "
-                         "systems, FNO1D for 1-D); for pointwise networks "
-                         "use PhysicsInformedNN")
+        raise ValueError("PINOPDE requires an FNO chain (FNO3D/FNO2D/FNO1D "
+                         "matching the independent-variable count); for "
+                         "pointwise networks use PhysicsInformedNN")
     for d in pde_system.dvs:
         args = [a.name for a in d.args]
         if args != ivs:
@@ -144,8 +149,8 @@ def solve_pino_pde(pde_system: PDESystem, alg: PINOPDE, *,
     n_dv = len(depvars)
 
     def eval_fields(theta, p_cols, gs):
-        x_in = (p_cols, tuple(gs)) if isinstance(chain, FNO2D) \
-            else (p_cols, gs[0][None, :])
+        x_in = (p_cols, gs[0][None, :]) if isinstance(chain, FNO1D) \
+            else (p_cols, tuple(gs))
         out = chain.apply(theta, x_in)
         if n_dv == 1:
             return {depvars[0]: out}

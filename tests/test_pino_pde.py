@@ -9,8 +9,8 @@ import optax
 import pytest
 
 from neuralpde_tpu import (
-    FNO1D, FNO2D, GridTraining, PDESystem, PINOPDE, SpectralConv2D,
-    StochasticTraining, solve_pino_pde,
+    FNO1D, FNO2D, FNO3D, GridTraining, PDESystem, PINOPDE, SpectralConv2D,
+    SpectralConv3D, StochasticTraining, solve_pino_pde,
 )
 from neuralpde_tpu.compile.fieldgrid import (
     FieldGridContext, build_field_residual, grid_diff,
@@ -186,6 +186,83 @@ def test_fno2d_input_layouts():
         net.apply(params, (p_cols[0], (gx, gt)))
 
 
+def test_spectral_conv3d_shapes_and_mode_clip():
+    layer = SpectralConv3D(2, 3, modes=32)     # modes > grid: clipped
+    params = layer.init(jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (2, 9, 8, 10, 4), jnp.float32)
+    y = layer.apply(params, x)
+    assert y.shape == (3, 9, 8, 10, 4)
+    assert jnp.isfinite(y).all()
+
+
+def test_spectral_conv3d_resolution_consistency():
+    """Band-limited periodic input at N^3 and (2N)^3 gives matching outputs
+    on the shared nodes (3-D discretization invariance)."""
+    layer = SpectralConv3D(1, 1, modes=(2, 2, 2))
+    params = layer.init(jax.random.key(2))
+
+    def run(n):
+        g = jnp.arange(n) / n
+        f = (jnp.sin(2 * jnp.pi * g)[:, None, None]
+             * jnp.cos(2 * jnp.pi * g)[None, :, None]
+             * jnp.sin(2 * jnp.pi * g)[None, None, :])
+        return layer.apply(params, f[None, :, :, :, None])[0, ..., 0]
+
+    coarse, fine = run(8), run(16)
+    np.testing.assert_allclose(np.asarray(coarse),
+                               np.asarray(fine[::2, ::2, ::2]), atol=1e-5)
+
+
+def test_fno3d_input_layouts():
+    net = FNO3D(in_channels=2, width=8, modes=3, depth=2)
+    params = net.init(jax.random.key(0))
+    gs = (jnp.linspace(0, 1, 9), jnp.linspace(0, 1, 7),
+          jnp.linspace(0, 1, 8))
+    p_cols = jax.random.normal(jax.random.key(1), (2, 4), jnp.float32)
+    out = net.apply(params, (p_cols, gs))
+    assert out.shape == (9, 7, 8, 4)
+    p_field = jnp.broadcast_to(p_cols[:, None, None, None, :],
+                               (2, 9, 7, 8, 4))
+    out2 = net.apply(params, (p_field, gs))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
+    with pytest.raises(ValueError, match="ndim"):
+        net.apply(params, (p_cols[0], gs))
+
+
+def test_pino_pde_fno3d_heat2d_family():
+    """2-D + time: the heat family u_t = nu (u_xx + u_yy) on an FNO3D
+    backbone, against the analytic separable solution."""
+    x, y, t = E.Sym("x"), E.Sym("y"), E.Sym("t")
+    nu, u = E.Param("nu"), E.DepVar("u")
+    U = u(x, y, t)
+    eq = E.Eq(E.Deriv(U, (t,)),
+              nu * (E.Deriv(U, (x, x)) + E.Deriv(U, (y, y))))
+    bcs = [E.Eq(u(x, y, E.Num(0.0)),
+                E.sin(E.Num(PI) * x) * E.sin(E.Num(PI) * y)),
+           E.Eq(u(E.Num(0.0), y, t), E.Num(0.0)),
+           E.Eq(u(E.Num(1.0), y, t), E.Num(0.0)),
+           E.Eq(u(x, E.Num(0.0), t), E.Num(0.0)),
+           E.Eq(u(x, E.Num(1.0), t), E.Num(0.0))]
+    sysd = PDESystem(eq, bcs,
+                     [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1)),
+                      Domain(t, Interval(0, 0.5))],
+                     ivs=[x, y, t], dvs=[U], ps=[nu])
+    alg = PINOPDE(chain=FNO3D(1, width=12, modes=5, depth=2),
+                  opt=optax.adam(3e-3), bounds=[(0.05, 0.3)],
+                  number_of_parameters=5,
+                  strategy=GridTraining([1 / 16, 1 / 16, 1 / 32]))
+    sol = solve_pino_pde(sysd, alg, maxiters=400, inner_steps=25)
+    gx, gt = np.linspace(0, 1, 17), np.linspace(0, 0.5, 17)
+    ps = np.linspace(0.08, 0.27, 5)
+    pred = np.asarray(sol(p=ps[None, :], grids=[gx, gx, gt]))
+    want = (np.exp(-2 * ps[None, None, None, :] * PI**2
+                   * gt[None, None, :, None])
+            * np.sin(PI * gx[:, None, None, None])
+            * np.sin(PI * gx[None, :, None, None]))
+    rel = np.linalg.norm(pred - want) / np.linalg.norm(want)
+    assert rel < 0.1, rel
+
+
 def test_fno2d_vector_output_shape():
     net = FNO2D(in_channels=1, width=8, modes=4, depth=2, out_channels=3)
     params = net.init(jax.random.key(0))
@@ -242,6 +319,56 @@ def test_pino_pde_validation_errors():
                                                  depth=2),
                                      bounds=[(0.05, 0.5)],
                                      strategy=GridTraining(0.25)), maxiters=1)
+
+
+def test_pino_pde_coupled_system_and_periodic_bc():
+    """Two coupled fields on one FNO (out_channels=2): transport
+    u_t + c u_x = 0 plus the derivative-extraction field v = u_x, with a
+    periodic pair u(0,t) ~ u(1,t) (both sides lower to slices).  Checked
+    against the analytic travelling wave for both fields."""
+    x, t = E.Sym("x"), E.Sym("t")
+    c, u, v = E.Param("c"), E.DepVar("u"), E.DepVar("v")
+    eqs = [E.Eq(E.Deriv(u(x, t), (t,)) + c * E.Deriv(u(x, t), (x,)),
+                E.Num(0.0)),
+           E.Eq(v(x, t), E.Deriv(u(x, t), (x,)))]
+    bcs = [E.Eq(u(x, E.Num(0.0)), E.sin(E.Num(2 * PI) * x)),
+           E.Eq(u(E.Num(0.0), t), u(E.Num(1.0), t))]
+    sysd = PDESystem(eqs, bcs,
+                     [Domain(x, Interval(0, 1)), Domain(t, Interval(0, 0.5))],
+                     ivs=[x, t], dvs=[u(x, t), v(x, t)], ps=[c])
+    alg = PINOPDE(chain=FNO2D(1, width=16, modes=8, depth=3, out_channels=2),
+                  opt=optax.adam(3e-3), bounds=[(0.5, 1.5)],
+                  number_of_parameters=10,
+                  strategy=GridTraining([1 / 32, 1 / 32]))
+    sol = solve_pino_pde(sysd, alg, maxiters=700, inner_steps=25)
+    gx, gt = np.linspace(0, 1, 33), np.linspace(0, 0.5, 17)
+    ps = np.linspace(0.6, 1.4, 7)
+    pred = np.asarray(sol(p=ps[None, :], grids=[gx, gt]))   # (2, X, T, P)
+    phase = 2 * PI * (gx[:, None, None] - ps[None, None, :] * gt[None, :, None])
+    wu, wv = np.sin(phase), 2 * PI * np.cos(phase)
+    assert np.linalg.norm(pred[0] - wu) / np.linalg.norm(wu) < 0.08
+    assert np.linalg.norm(pred[1] - wv) / np.linalg.norm(wv) < 0.12
+
+
+def test_pino_pde_fno1d_one_iv_family():
+    """One independent variable routes through FNO1D: the growth family
+    w' = p w, w(0) = 1 over p in [0.2, 1], evaluated at doubled
+    resolution."""
+    x = E.Sym("x")
+    p1, w = E.Param("p"), E.DepVar("w")
+    sysd = PDESystem(E.Eq(E.Deriv(w(x), (x,)), p1 * w(x)),
+                     [E.Eq(w(E.Num(0.0)), E.Num(1.0))],
+                     [Domain(x, Interval(0, 1))], ivs=[x], dvs=[w(x)],
+                     ps=[p1])
+    alg = PINOPDE(chain=FNO1D(1, width=16, modes=8, depth=3),
+                  opt=optax.adam(3e-3), bounds=[(0.2, 1.0)],
+                  number_of_parameters=12, strategy=GridTraining(1 / 32))
+    sol = solve_pino_pde(sysd, alg, maxiters=500, inner_steps=25)
+    ps = np.linspace(0.3, 0.9, 9)
+    xs = np.linspace(0, 1, 65)
+    pred = np.asarray(sol(p=ps[None, :], grids=[xs]))
+    want = np.exp(ps[None, :] * xs[:, None])
+    assert np.linalg.norm(pred - want) / np.linalg.norm(want) < 0.02
 
 
 def test_pino_pde_heat_family():
