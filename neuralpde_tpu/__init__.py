@@ -55,7 +55,8 @@ from .nn.fno import FNO1D, FNO2D, FNO3D, SpectralConv1D, SpectralConv2D, Spectra
 from .nn.separable import SeparableNet, separable_mlp
 from .compile.separable import SeparableTraining, build_separable_residual
 from .solvers import (
-    DAEProblem, DeepGalerkin, DeepRitz, NNDAE, NNODE, NNSDE, ODEPhi,
+    DAEProblem, DeepGalerkin, DeepRitz, GaussianRandomField, NNDAE, NNODE,
+    NNSDE, ODEPhi,
     ODEProblem, ODESolution, PINOODE, PINOODESolution, PINOPDE,
     PINOPDESolution, SDEPINN, SDEProblem, SDEsol, discretize_ritz,
     neural_adapter, solve_dae, solve_ode, solve_pino_ode, solve_pino_pde,

@@ -122,26 +122,29 @@ def _axis_shape(ctx: FieldGridContext, axis: int, n: int):
 
 
 def _resolve_call(call: DepVarCall, ctx: FieldGridContext):
-    """Slice indices for one depvar call: per grid axis, `slice(None)` when
-    the argument is the canonical grid variable, or a pinned node index when
-    it is a constant."""
+    """Full-rank slice index for one depvar call: per grid axis,
+    `slice(None)` when the field's argument there is the canonical grid
+    variable (or the field is not declared on that axis — its stored array
+    has a broadcastable size-1 axis), or a pinned node index when the
+    argument is a constant.  Fields declared on a SUBSET of the grid axes
+    (input-function channels like ``f0(x)`` in a 2-D problem) are stored
+    full-rank with size-1 absent axes."""
     inputs = ctx.dict_depvar_input[call.name]
     if len(call.args) != len(inputs):
         raise ValueError(f"{call.name} called with {len(call.args)} args, "
                          f"declared with {len(inputs)}")
-    idx = []
+    idx = [slice(None)] * ctx.ndim
     for slot, (canon, a) in enumerate(zip(inputs, call.args)):
+        axis = ctx.axis_of(canon)
         if isinstance(a, Sym):
             if a.name != canon:
                 raise ValueError(
                     f"field-grid lowering requires canonical call arguments: "
                     f"{call.name} slot {slot} is declared {canon!r}, got "
                     f"{a.name!r}")
-            idx.append(slice(None))
         elif isinstance(a, Num):
-            axis = ctx.axis_of(canon)
             i = ctx.node_index(axis, a.value)
-            idx.append(slice(i, i + 1))       # keepdims: broadcastable
+            idx[axis] = slice(i, i + 1)       # keepdims: broadcastable
         else:
             raise ValueError(
                 f"field-grid lowering supports grid variables and constants "

@@ -3,15 +3,24 @@
 src/pino_ode_solve.jl; this extends the same calling conventions to
 `PDESystem` problems with an FNO backbone).
 
-Learns the solution operator ``(p1, ..., pk) -> u(x, t)`` of a symbolic
-`PDESystem` whose `ps` parameters range over given bounds.  One FNO
-evaluation produces the whole solution field on the training tensor grid
-for every parameter sample at once; the symbolic equations and boundary
-conditions lower onto that field through `compile/fieldgrid.py` (grid-axis
-FD derivatives, boundary slices).  The loss is the mean-square of every
-equation's residual field plus every boundary condition's slice residual —
-a single XLA program over ``(N1, ..., Nd, P)`` tensors, all MXU matmuls
-around XLA FFTs.
+Learns the solution operator of a symbolic `PDESystem` over a family of
+problem instances.  The family can be parametrized two ways (combinable):
+
+* **scalar parameters** — `PDESystem.ps` entries ranging over `bounds`
+  (e.g. a viscosity family), each an FNO input channel broadcast over the
+  grid;
+* **input functions** — dependent-variable-like fields that are *given*,
+  not solved for (e.g. the initial condition in the classic
+  `u0 -> u(x, t)` operator-learning benchmark, Li et al. 2021 §5), sampled
+  from a user distribution (`GaussianRandomField` or any callable) and fed
+  to the FNO as function-valued channels.
+
+One FNO evaluation produces the whole solution field on the training
+tensor grid for every family sample at once; the symbolic equations and
+boundary conditions lower onto that field through `compile/fieldgrid.py`
+(grid-axis FD derivatives, boundary slices).  The loss is the mean-square
+of every equation's residual field — a single XLA program over
+``(N1, ..., Nd, P)`` tensors, all MXU matmuls around XLA FFTs.
 """
 
 from __future__ import annotations
@@ -34,12 +43,60 @@ from ..train import solve as train_solve
 from .ode import _SimpleProblem
 
 
+class GaussianRandomField:
+    """Sampler of smooth random fields for input-function families:
+    squared-exponential-filtered white noise on the (periodized) grid,
+    normalized to standard deviation `variance**0.5` and shifted by `mean`.
+
+    ``sampler(key, axis_grids, n)`` returns ``(*axis_sizes, n)`` values on
+    the given uniform grids (any dimension).  Periodic by construction —
+    the first and last node of every axis carry the same value (grids
+    include both endpoints); non-periodic families can pass any custom
+    callable with the same signature instead.
+    """
+
+    def __init__(self, length_scale: float = 0.1, variance: float = 1.0,
+                 mean: float = 0.0):
+        self.length_scale = float(length_scale)
+        self.variance = float(variance)
+        self.mean = float(mean)
+
+    def __call__(self, key, axis_grids, n: int):
+        grids = [jnp.ravel(jnp.asarray(g)) for g in axis_grids]
+        sizes = [g.shape[0] - 1 for g in grids]          # periodic reduced
+        if any(s < 2 for s in sizes):
+            raise ValueError("GaussianRandomField needs >= 3 nodes per axis")
+        spans = [float(g[-1] - g[0]) for g in grids]
+        white = jax.random.normal(key, (*sizes, n), default_float())
+        wh = jnp.fft.rfftn(white, axes=tuple(range(len(sizes))))
+        k2 = 0.0
+        for ax, (m, span) in enumerate(zip(sizes, spans)):
+            freq = (np.fft.rfftfreq(m) if ax == len(sizes) - 1
+                    else np.fft.fftfreq(m))
+            k = 2 * np.pi * freq * m / span
+            shape = [1] * (len(sizes) + 1)
+            shape[ax] = k.shape[0]
+            k2 = k2 + jnp.asarray(k.reshape(shape) ** 2, default_float())
+        wh = wh * jnp.exp(-k2 * self.length_scale**2 / 4.0)
+        f = jnp.fft.irfftn(wh, s=sizes, axes=tuple(range(len(sizes))))
+        f = f / (jnp.std(f) + 1e-12) * self.variance**0.5 + self.mean
+        # append the periodic wrap node on every axis (grids have endpoints)
+        for ax in range(len(sizes)):
+            first = jax.lax.slice_in_dim(f, 0, 1, axis=ax)
+            f = jnp.concatenate([f, first], axis=ax)
+        return f
+
+
 @dataclass
 class PINOPDE:
     """chain: `FNO3D`/`FNO2D`/`FNO1D` matching the system's
     independent-variable count;
     bounds: list of (lb, ub) per `PDESystem.ps` parameter, declaration
-    order; number_of_parameters: train-set size along the parameter axis.
+    order; number_of_parameters: train-set size along the family axis.
+    input_functions: {declared_call: sampler} for function-valued family
+    inputs — e.g. ``{f0(x): GaussianRandomField(0.1)}`` with `f0` a
+    `DepVar` NOT listed in `PDESystem.dvs`; the sampler is called as
+    ``sampler(key, axis_grids, n)`` -> ``(*axis_sizes, n)``.
     matmul_precision: dot-precision context for the loss (the round-3
     finding: TPU default f32 matmuls run bf16 passes; "highest" restores
     true-f32 accuracy floors)."""
@@ -51,31 +108,42 @@ class PINOPDE:
     init_params: Any = None
     strategy: TrainingStrategy | None = None
     additional_loss: Callable | None = None
+    input_functions: Any = None
     matmul_precision: str | None = None
     seed: int = 0
 
 
 @dataclass
 class PINOPDESolution:
-    """``sol(p)`` / ``sol(p, grids)`` evaluates the trained operator at
-    parameter columns ``(n_ps, P)`` on the training grid or on any uniform
-    grids over the same domains (FNO discretization transfer)."""
+    """``sol(p, grids, input_values)`` evaluates the trained operator at
+    parameter columns ``(n_ps, P)`` and/or input-function values on the
+    training grid or on any uniform grids over the same domains (FNO
+    discretization transfer)."""
 
     u: Any                     # field(s) on the training grid
     grids: Any                 # training grid node arrays, ivs order
     p: Any                     # training parameter columns (n_ps, P)
+    input_samples: Any         # {name: (*axis_sizes, P)} training samples
     depvars: Any
     interp: Any
     original: Any
     retcode: str = "Success"
 
-    def __call__(self, p=None, grids=None):
+    def __call__(self, p=None, grids=None, input_values=None):
         p = self.p if p is None else jnp.atleast_2d(jnp.asarray(p))
-        return self.interp(p, self.grids if grids is None else
-                           [jnp.ravel(jnp.asarray(g)) for g in grids])
+        gs = (self.grids if grids is None else
+              [jnp.ravel(jnp.asarray(g)) for g in grids])
+        if input_values is None:
+            if grids is not None and self.input_samples:
+                raise ValueError(
+                    "evaluating on new grids requires input_values for the "
+                    f"input functions {sorted(self.input_samples)} (sampled "
+                    "values live on the training grid)")
+            input_values = self.input_samples
+        return self.interp(p, gs, input_values)
 
 
-def _validate(pde_system: PDESystem, alg: PINOPDE):
+def _validate(pde_system: PDESystem, alg: PINOPDE, input_fns: dict):
     ivs = [v.name for v in pde_system.ivs]
     if isinstance(alg.chain, FNO3D):
         if len(ivs) != 3:
@@ -99,15 +167,30 @@ def _validate(pde_system: PDESystem, alg: PINOPDE):
             raise ValueError(
                 f"field depvar {d.name} must be declared on all independent "
                 f"variables in order ({ivs}); got {args}")
-    if not pde_system.ps:
+    for call in input_fns:
+        names = [a.name for a in call.args]
+        if any(n not in ivs for n in names) or \
+                names != [n for n in ivs if n in names]:
+            raise ValueError(
+                f"input function {call.name} must be declared on a subset "
+                f"of the independent variables in grid order ({ivs}); got "
+                f"{names}")
+        if call.name in {d.name for d in pde_system.dvs}:
+            raise ValueError(
+                f"input function {call.name} is also a solved depvar; "
+                "input functions are given, not solved for")
+    if not pde_system.ps and not input_fns:
         raise ValueError("PINOPDE learns a parametric family: the PDESystem "
-                         "needs `ps` parameters (with PINOPDE bounds)")
-    if alg.bounds is None or len(alg.bounds) != len(pde_system.ps):
+                         "needs `ps` parameters (with PINOPDE bounds) "
+                         "and/or PINOPDE input_functions")
+    if pde_system.ps and (alg.bounds is None
+                          or len(alg.bounds) != len(pde_system.ps)):
         raise ValueError(f"PINOPDE requires one (lb, ub) bound per system "
                          f"parameter ({len(pde_system.ps)})")
-    if alg.chain.in_dim != len(pde_system.ps):
+    n_in = len(pde_system.ps) + len(input_fns)
+    if alg.chain.in_dim != n_in:
         raise ValueError(f"chain in_channels ({alg.chain.in_dim}) must equal "
-                         f"the number of parameters ({len(pde_system.ps)})")
+                         f"n_parameters + n_input_functions ({n_in})")
     if alg.chain.out_dim != len(pde_system.dvs):
         raise ValueError(f"chain out_channels ({alg.chain.out_dim}) must "
                          f"equal the number of depvars ({len(pde_system.dvs)})")
@@ -118,9 +201,11 @@ def solve_pino_pde(pde_system: PDESystem, alg: PINOPDE, *,
                    maxiters: int = 1000, key=None,
                    inner_steps: int = 1) -> PINOPDESolution:
     dtype = default_float()
-    _validate(pde_system, alg)
+    input_fns = dict(alg.input_functions or {})
+    _validate(pde_system, alg, input_fns)
     ivs = [v.name for v in pde_system.ivs]
     depvars = [d.name for d in pde_system.dvs]
+    ndim = len(ivs)
 
     strategy = alg.strategy
     if not isinstance(strategy, GridTraining) or strategy.dx is None:
@@ -132,15 +217,45 @@ def solve_pino_pde(pde_system: PDESystem, alg: PINOPDE, *,
     grids = [jnp.asarray(julia_range(infimum(dom[n]), supremum(dom[n]), h),
                          dtype=dtype) for n, h in zip(ivs, dxs)]
 
-    bounds = [tuple(map(float, b)) for b in alg.bounds]
-    p_tr = jnp.asarray(np.stack([np.linspace(b[0], b[1],
-                                             alg.number_of_parameters)
-                                 for b in bounds]), dtype=dtype)   # (n_ps, P)
+    n_fam = alg.number_of_parameters
+    if pde_system.ps:
+        bounds = [tuple(map(float, b)) for b in alg.bounds]
+        p_tr = jnp.asarray(np.stack([np.linspace(b[0], b[1], n_fam)
+                                     for b in bounds]), dtype=dtype)
+    else:
+        p_tr = jnp.zeros((0, n_fam), dtype)
+
+    # sample the input-function family on the training grid
+    fn_names = [call.name for call in input_fns]
+    fn_axes = {call.name: [ivs.index(a.name) for a in call.args]
+               for call in input_fns}
+    skey = jax.random.key(alg.seed ^ 0x5EED)
+    input_samples = {}
+    for call, sampler in input_fns.items():
+        skey, sub = jax.random.split(skey)
+        axes = fn_axes[call.name]
+        vals = jnp.asarray(sampler(sub, [grids[a] for a in axes], n_fam),
+                           dtype=dtype)
+        want = tuple(grids[a].shape[0] for a in axes) + (n_fam,)
+        if vals.shape != want:
+            raise ValueError(f"sampler for {call.name} returned shape "
+                             f"{vals.shape}, expected {want}")
+        input_samples[call.name] = vals
+
+    def _full_rank(name, vals, gs):
+        """(*axis_sizes, P) -> (N1(or 1), ..., Nd(or 1), P)."""
+        axes = fn_axes[name]
+        shape = [1] * ndim + [vals.shape[-1]]
+        for i, a in enumerate(axes):
+            shape[a] = vals.shape[i]
+        return jnp.reshape(vals, shape)
 
     ctx = FieldGridContext(
         iv_names=ivs, grids=grids,
-        dict_depvar_input={d.name: [a.name for a in d.args]
-                           for d in pde_system.dvs},
+        dict_depvar_input={**{d.name: [a.name for a in d.args]
+                              for d in pde_system.dvs},
+                           **{call.name: [a.name for a in call.args]
+                              for call in input_fns}},
         eq_params=[p.name for p in pde_system.ps])
     residuals = [build_field_residual(eq, ctx)
                  for eq in pde_system.eqs + pde_system.bcs]
@@ -148,20 +263,42 @@ def solve_pino_pde(pde_system: PDESystem, alg: PINOPDE, *,
     chain = alg.chain
     n_dv = len(depvars)
 
-    def eval_fields(theta, p_cols, gs):
-        x_in = (p_cols, gs[0][None, :]) if isinstance(chain, FNO1D) \
-            else (p_cols, tuple(gs))
+    def operator_input(p_cols, gs, input_values):
+        """Stack scalar-parameter and input-function channels into the FNO
+        input: (C, N1, ..., Nd, P) when function channels are present,
+        plain parameter columns (C, P) otherwise."""
+        if not fn_names:
+            return p_cols
+        ns = tuple(jnp.ravel(g).shape[0] for g in gs)
+        n_p = next(iter(input_values.values())).shape[-1]
+        chans = [jnp.broadcast_to(
+            p_cols.reshape((p_cols.shape[0],) + (1,) * ndim + (-1,)),
+            (p_cols.shape[0], *ns, n_p))] if p_cols.shape[0] else []
+        for name in fn_names:
+            chans.append(jnp.broadcast_to(
+                _full_rank(name, input_values[name], gs)[None],
+                (1, *ns, n_p)))
+        return jnp.concatenate(chans, axis=0)
+
+    def eval_fields(theta, p_cols, gs, input_values):
+        op_in = operator_input(p_cols, gs, input_values)
+        if isinstance(chain, FNO1D):
+            x_in = (op_in, gs[0][None, :])
+        else:
+            x_in = (op_in, tuple(gs))
         out = chain.apply(theta, x_in)
-        if n_dv == 1:
-            return {depvars[0]: out}
-        return {name: out[i] for i, name in enumerate(depvars)}
+        fields = ({depvars[0]: out} if n_dv == 1
+                  else {name: out[i] for i, name in enumerate(depvars)})
+        for name in fn_names:
+            fields[name] = _full_rank(name, input_values[name], gs)
+        return fields
 
     prec = (jax.default_matmul_precision(alg.matmul_precision)
             if alg.matmul_precision is not None else contextlib.nullcontext())
 
     def total_loss(theta, lkey):
         with prec:
-            fields = eval_fields(theta["depvar"], p_tr, grids)
+            fields = eval_fields(theta["depvar"], p_tr, grids, input_samples)
             loss = sum(jnp.mean(r(fields, p_tr) ** 2) for r in residuals)
             if alg.additional_loss is not None:
                 loss = loss + alg.additional_loss(fields, theta)
@@ -174,13 +311,19 @@ def solve_pino_pde(pde_system: PDESystem, alg: PINOPDE, *,
                       opt, maxiters=maxiters, abstol=abstol, verbose=verbose,
                       key=key, inner_steps=inner_steps)
 
-    def interp(p_cols, gs):
+    def interp(p_cols, gs, input_values):
+        vals = {n: jnp.asarray(v, dtype)
+                for n, v in (input_values or {}).items()}
+        missing = set(fn_names) - set(vals)
+        if missing:
+            raise ValueError(f"missing input_values for {sorted(missing)}")
         with prec:
-            fields = eval_fields(res.u["depvar"], p_cols, gs)
+            fields = eval_fields(res.u["depvar"], p_cols, gs, vals)
         if n_dv == 1:
             return fields[depvars[0]]
         return jnp.stack([fields[n] for n in depvars])
 
-    u = interp(p_tr, grids)
-    return PINOPDESolution(u=u, grids=grids, p=p_tr, depvars=depvars,
+    u = interp(p_tr, grids, input_samples)
+    return PINOPDESolution(u=u, grids=grids, p=p_tr,
+                           input_samples=input_samples, depvars=depvars,
                            interp=interp, original=res)

@@ -9,8 +9,9 @@ import optax
 import pytest
 
 from neuralpde_tpu import (
-    FNO1D, FNO2D, FNO3D, GridTraining, PDESystem, PINOPDE, SpectralConv2D,
-    SpectralConv3D, StochasticTraining, solve_pino_pde,
+    FNO1D, FNO2D, FNO3D, GaussianRandomField, GridTraining, PDESystem,
+    PINOPDE, SpectralConv2D, SpectralConv3D, StochasticTraining,
+    solve_pino_pde,
 )
 from neuralpde_tpu.compile.fieldgrid import (
     FieldGridContext, build_field_residual, grid_diff,
@@ -369,6 +370,97 @@ def test_pino_pde_fno1d_one_iv_family():
     pred = np.asarray(sol(p=ps[None, :], grids=[xs]))
     want = np.exp(ps[None, :] * xs[:, None])
     assert np.linalg.norm(pred - want) / np.linalg.norm(want) < 0.02
+
+
+def test_gaussian_random_field_sampler():
+    """GRF samples are periodic (wrap node matches), smooth at the
+    requested length scale, and normalized to ~unit std."""
+    grf = GaussianRandomField(length_scale=0.2)
+    g = jnp.linspace(0.0, 1.0, 65)
+    f = np.asarray(grf(jax.random.key(0), [g], 32))
+    assert f.shape == (65, 32)
+    np.testing.assert_allclose(f[0], f[-1], atol=1e-6)       # periodic wrap
+    assert abs(float(np.std(f)) - 1.0) < 0.05
+    # smoothness: total variation of a l=0.2 field is far below white noise
+    tv = np.abs(np.diff(f, axis=0)).mean()
+    assert tv < 0.2, tv
+    # 2-D sampling
+    f2 = np.asarray(grf(jax.random.key(1), [g, jnp.linspace(0, 2, 33)], 4))
+    assert f2.shape == (65, 33, 4)
+    np.testing.assert_allclose(f2[0], f2[-1], atol=1e-6)
+    np.testing.assert_allclose(f2[:, 0], f2[:, -1], atol=1e-6)
+
+
+def test_pino_pde_initial_condition_operator():
+    """The classic operator-learning benchmark shape: u0 -> u(x, t) for the
+    periodic heat equation, with GRF-sampled initial conditions fed to the
+    FNO as a function-valued channel.  Held-out ICs are checked against the
+    EXACT spectral evolution of the sampled field."""
+    NU = 0.05
+    x, t = E.Sym("x"), E.Sym("t")
+    u, f0 = E.DepVar("u"), E.DepVar("f0")
+    eq = E.Eq(E.Deriv(u(x, t), (t,)), E.Num(NU) * E.Deriv(u(x, t), (x, x)))
+    bcs = [E.Eq(u(x, E.Num(0.0)), f0(x)),
+           E.Eq(u(E.Num(0.0), t), u(E.Num(1.0), t)),
+           E.Eq(E.Deriv(u(E.Num(0.0), t), (x,)),
+                E.Deriv(u(E.Num(1.0), t), (x,)))]
+    sysd = PDESystem(eq, bcs,
+                     [Domain(x, Interval(0, 1)), Domain(t, Interval(0, 0.5))],
+                     ivs=[x, t], dvs=[u(x, t)])
+    grf = GaussianRandomField(length_scale=0.15)
+    alg = PINOPDE(chain=FNO2D(1, width=16, modes=(10, 6), depth=2),
+                  opt=optax.adam(2e-3), number_of_parameters=16,
+                  input_functions={f0(x): grf},
+                  strategy=GridTraining([1 / 32, 1 / 16]))
+    sol = solve_pino_pde(sysd, alg, maxiters=800, inner_steps=25)
+
+    gx, gt = np.asarray(sol.grids[0]), np.asarray(sol.grids[1])
+    test_ic = np.asarray(grf(jax.random.key(99), [sol.grids[0]], 8))
+    pred = np.asarray(sol(input_values={"f0": jnp.asarray(test_ic)}))
+    m = len(gx) - 1
+    k = 2 * np.pi * np.fft.rfftfreq(m, d=1.0 / m)
+    uh0 = np.fft.rfft(test_ic[:-1, :], axis=0)
+    want = np.stack([np.fft.irfft(uh0 * np.exp(-NU * k[:, None]**2 * tt),
+                                  n=m, axis=0) for tt in gt], axis=1)
+    want = np.concatenate([want, want[:1]], axis=0)
+    rel = np.linalg.norm(pred - want) / np.linalg.norm(want)
+    assert rel < 0.09, rel
+
+
+def test_pino_pde_input_function_validation():
+    x, t = E.Sym("x"), E.Sym("t")
+    u, f0 = E.DepVar("u"), E.DepVar("f0")
+    eq = E.Eq(E.Deriv(u(x, t), (t,)), E.Deriv(u(x, t), (x, x)))
+    sysd = PDESystem(eq, [E.Eq(u(x, E.Num(0.0)), f0(x))],
+                     [Domain(x, Interval(0, 1)), Domain(t, Interval(0, 1))],
+                     ivs=[x, t], dvs=[u(x, t)])
+    grf = GaussianRandomField(0.2)
+    # input fn declared out of grid order (t, x) is rejected
+    bad = E.DepVar("g0")
+    with pytest.raises(ValueError, match="subset"):
+        solve_pino_pde(sysd, PINOPDE(
+            chain=FNO2D(2, width=8, modes=4, depth=2),
+            number_of_parameters=4, input_functions={bad(t, x): grf},
+            strategy=GridTraining(0.25)), maxiters=1)
+    # input fn that is also a solved depvar is rejected
+    with pytest.raises(ValueError, match="also a solved depvar"):
+        solve_pino_pde(sysd, PINOPDE(
+            chain=FNO2D(1, width=8, modes=4, depth=2),
+            number_of_parameters=4, input_functions={u(x, t): grf},
+            strategy=GridTraining(0.25)), maxiters=1)
+    # in_channels must count input functions
+    with pytest.raises(ValueError, match="n_input_functions"):
+        solve_pino_pde(sysd, PINOPDE(
+            chain=FNO2D(2, width=8, modes=4, depth=2),
+            number_of_parameters=4, input_functions={f0(x): grf},
+            strategy=GridTraining(0.25)), maxiters=1)
+    # evaluation on new grids without input_values is rejected
+    sol = solve_pino_pde(sysd, PINOPDE(
+        chain=FNO2D(1, width=8, modes=4, depth=2),
+        number_of_parameters=4, input_functions={f0(x): grf},
+        strategy=GridTraining(0.25)), maxiters=2)
+    with pytest.raises(ValueError, match="input_values"):
+        sol(grids=[np.linspace(0, 1, 9), np.linspace(0, 1, 9)])
 
 
 def test_pino_pde_heat_family():
