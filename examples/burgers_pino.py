@@ -12,12 +12,9 @@ field, periodic pair + periodic-derivative pair as boundary slices).
 Ground truth per test viscosity comes from an in-script Fourier
 pseudo-spectral RK4 solver (256 modes, dt 2e-4).
 
-Measured on one TPU v5e chip (--iters 8000, width 32, modes (16, 10),
-129x33 grid, 24 training viscosities):
-
-    rel L2 over 7 held-out viscosities in [0.07, 0.27], evaluated on a
-    257x65 grid (4x the training resolution): **0.0083** — ~95 s wall
-    incl. compiles (~60 s train).
+Evaluation: rel L2 over 7 held-out viscosities in [0.07, 0.27] on a
+257x65 grid (2x the training resolution in each axis) against the
+spectral reference.
 
 Run: python examples/burgers_pino.py [--iters 8000] [--cpu]
 """
