@@ -62,7 +62,10 @@ class GaussianRandomField:
         self.mean = float(mean)
 
     def __call__(self, key, axis_grids, n: int):
-        grids = [jnp.ravel(jnp.asarray(g)) for g in axis_grids]
+        # grid geometry must stay host-side/static: under resample=True this
+        # runs inside the jitted loss, where the grids are concrete closure
+        # constants but any jnp op on them would be staged into a tracer
+        grids = [np.ravel(np.asarray(g)) for g in axis_grids]
         sizes = [g.shape[0] - 1 for g in grids]          # periodic reduced
         if any(s < 2 for s in sizes):
             raise ValueError("GaussianRandomField needs >= 3 nodes per axis")
@@ -97,6 +100,11 @@ class PINOPDE:
     inputs — e.g. ``{f0(x): GaussianRandomField(0.1)}`` with `f0` a
     `DepVar` NOT listed in `PDESystem.dvs`; the sampler is called as
     ``sampler(key, axis_grids, n)`` -> ``(*axis_sizes, n)``.
+    resample: draw a FRESH family every training step inside the jitted
+    loss (scalar parameters uniform over `bounds`, input functions from
+    their samplers — samplers must then be JAX-traceable, as
+    `GaussianRandomField` is) instead of training on the fixed build-time
+    family; the StochasticTraining analog for operator learning.
     matmul_precision: dot-precision context for the loss (the round-3
     finding: TPU default f32 matmuls run bf16 passes; "highest" restores
     true-f32 accuracy floors)."""
@@ -109,6 +117,7 @@ class PINOPDE:
     strategy: TrainingStrategy | None = None
     additional_loss: Callable | None = None
     input_functions: Any = None
+    resample: bool = False
     matmul_precision: str | None = None
     seed: int = 0
 
@@ -296,10 +305,32 @@ def solve_pino_pde(pde_system: PDESystem, alg: PINOPDE, *,
     prec = (jax.default_matmul_precision(alg.matmul_precision)
             if alg.matmul_precision is not None else contextlib.nullcontext())
 
+    def _draw_family(lkey):
+        """Fresh family sample inside the jitted loss (resample=True)."""
+        kp, kf = jax.random.split(lkey)
+        if pde_system.ps:
+            lo = jnp.asarray([b[0] for b in bounds], dtype)[:, None]
+            hi = jnp.asarray([b[1] for b in bounds], dtype)[:, None]
+            p_cols = lo + (hi - lo) * jax.random.uniform(
+                kp, (len(bounds), n_fam), dtype)
+        else:
+            p_cols = p_tr
+        samples = {}
+        for call, sampler in input_fns.items():
+            kf, sub = jax.random.split(kf)
+            axes = fn_axes[call.name]
+            samples[call.name] = jnp.asarray(
+                sampler(sub, [grids[a] for a in axes], n_fam), dtype)
+        return p_cols, samples
+
     def total_loss(theta, lkey):
         with prec:
-            fields = eval_fields(theta["depvar"], p_tr, grids, input_samples)
-            loss = sum(jnp.mean(r(fields, p_tr) ** 2) for r in residuals)
+            if alg.resample:
+                p_cols, samples = _draw_family(lkey)
+            else:
+                p_cols, samples = p_tr, input_samples
+            fields = eval_fields(theta["depvar"], p_cols, grids, samples)
+            loss = sum(jnp.mean(r(fields, p_cols) ** 2) for r in residuals)
             if alg.additional_loss is not None:
                 loss = loss + alg.additional_loss(fields, theta)
         return loss

@@ -463,6 +463,50 @@ def test_pino_pde_input_function_validation():
         sol(grids=[np.linspace(0, 1, 9), np.linspace(0, 1, 9)])
 
 
+def test_pino_pde_resampled_family():
+    """resample=True draws a fresh family every step inside the jitted
+    loss: scalar parameters uniform over bounds + GRF input functions.
+    Held-out ICs stay in the fixed-family accuracy class."""
+    NU = 0.05
+    x, t = E.Sym("x"), E.Sym("t")
+    u, f0 = E.DepVar("u"), E.DepVar("f0")
+    eq = E.Eq(E.Deriv(u(x, t), (t,)), E.Num(NU) * E.Deriv(u(x, t), (x, x)))
+    bcs = [E.Eq(u(x, E.Num(0.0)), f0(x)),
+           E.Eq(u(E.Num(0.0), t), u(E.Num(1.0), t))]
+    sysd = PDESystem(eq, bcs,
+                     [Domain(x, Interval(0, 1)), Domain(t, Interval(0, 0.5))],
+                     ivs=[x, t], dvs=[u(x, t)])
+    grf = GaussianRandomField(length_scale=0.15)
+    alg = PINOPDE(chain=FNO2D(1, width=16, modes=(10, 6), depth=2),
+                  opt=optax.adam(2e-3), number_of_parameters=16,
+                  input_functions={f0(x): grf}, resample=True,
+                  strategy=GridTraining([1 / 32, 1 / 16]))
+    sol = solve_pino_pde(sysd, alg, maxiters=800, inner_steps=25)
+    gx, gt = np.asarray(sol.grids[0]), np.asarray(sol.grids[1])
+    test_ic = np.asarray(grf(jax.random.key(77), [sol.grids[0]], 8))
+    pred = np.asarray(sol(input_values={"f0": jnp.asarray(test_ic)}))
+    m = len(gx) - 1
+    k = 2 * np.pi * np.fft.rfftfreq(m, d=1.0 / m)
+    uh0 = np.fft.rfft(test_ic[:-1, :], axis=0)
+    want = np.stack([np.fft.irfft(uh0 * np.exp(-NU * k[:, None]**2 * tt),
+                                  n=m, axis=0) for tt in gt], axis=1)
+    want = np.concatenate([want, want[:1]], axis=0)
+    rel = np.linalg.norm(pred - want) / np.linalg.norm(want)
+    assert rel < 0.12, rel
+
+    # scalar-parameter resampling path compiles and trains
+    nu, w = E.Param("nu"), E.DepVar("w")
+    eq2 = E.Eq(E.Deriv(w(x, t), (t,)), nu * E.Deriv(w(x, t), (x, x)))
+    sys2 = PDESystem(eq2, [E.Eq(w(x, E.Num(0.0)), E.sin(E.Num(PI) * x))],
+                     [Domain(x, Interval(0, 1)), Domain(t, Interval(0, 1))],
+                     ivs=[x, t], dvs=[w(x, t)], ps=[nu])
+    alg2 = PINOPDE(chain=FNO2D(1, width=8, modes=4, depth=2),
+                   bounds=[(0.05, 0.3)], number_of_parameters=6,
+                   resample=True, strategy=GridTraining(0.25))
+    sol2 = solve_pino_pde(sys2, alg2, maxiters=10, inner_steps=5)
+    assert np.isfinite(float(sol2.original.objective))
+
+
 def test_pino_pde_heat_family():
     """Parametric heat equation u_t = nu u_xx over nu in [0.05, 0.5]: one
     trained operator, evaluated off the training parameter set AND on a
