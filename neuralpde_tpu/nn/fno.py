@@ -30,10 +30,21 @@ from ..config import default_float
 from .core import Chain, Dense, Module, gelu
 
 
-def _pointwise(layer: Dense, params, x):
-    """Apply a Dense layer per grid point: (C, *grid, P) -> (C', *grid, P)."""
-    rest = x.shape[1:]
-    return layer.apply(params, x.reshape(x.shape[0], -1)).reshape(-1, *rest)
+def _pointwise(layer, params, x):
+    """Apply a Dense/Chain per grid point: (C, *grid, P) -> (C', *grid, P).
+
+    Contracts the channel axis with tensordot instead of reshaping the
+    grid/family axes into one dim — a reshape across a mesh-sharded family
+    axis would force GSPMD to all-gather it (measured; the PINOPDE
+    family-axis sharding test guards this)."""
+    if isinstance(layer, Chain):
+        for i, sub in enumerate(layer.layers):
+            x = _pointwise(sub, params[f"layer_{i}"], x)
+        return x
+    y = jnp.tensordot(params["weight"], x, axes=((1,), (0,)))
+    if layer.use_bias:
+        y = y + params["bias"].reshape((-1,) + (1,) * (x.ndim - 1))
+    return layer.activation(y)
 
 
 class SpectralConv1D(Module):

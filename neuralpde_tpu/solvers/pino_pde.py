@@ -36,6 +36,7 @@ import optax
 
 from ..config import default_float
 from ..compile.fieldgrid import FieldGridContext, build_field_residual
+from ..parallel.mesh import BATCH_AXIS, get_mesh
 from ..nn.fno import FNO1D, FNO2D, FNO3D
 from ..strategies import GridTraining, TrainingStrategy, julia_range
 from ..symbolic.system import PDESystem, infimum, supremum
@@ -136,7 +137,8 @@ class PINOPDESolution:
     depvars: Any
     interp: Any
     original: Any
-    retcode: str = "Success"
+    loss_fn: Any = None        # the trained objective (theta, key) -> loss,
+    retcode: str = "Success"   # exposed for diagnostics / polish drivers
 
     def __call__(self, p=None, grids=None, input_values=None):
         p = self.p if p is None else jnp.atleast_2d(jnp.asarray(p))
@@ -323,14 +325,50 @@ def solve_pino_pde(pde_system: PDESystem, alg: PINOPDE, *,
                 sampler(sub, [grids[a] for a in axes], n_fam), dtype)
         return p_cols, samples
 
+    def _family_loss(theta_dv, p_cols, samples):
+        fields = eval_fields(theta_dv, p_cols, grids, samples)
+        return fields, sum(jnp.mean(r(fields, p_cols) ** 2)
+                           for r in residuals)
+
+    # family-axis data parallelism: under an active mesh the trailing (P)
+    # axis of the parameter columns / input samples shards over devices
+    # via shard_map — each device evaluates its own family members
+    # locally (FFTs included; a with_sharding_constraint formulation
+    # measured an all-gather of the family axis around every XLA FFT),
+    # and the per-shard means pmean into the global loss (equal shards).
+    mesh = get_mesh()
+    use_smap = (mesh is not None and n_fam % mesh.shape[BATCH_AXIS] == 0
+                and alg.additional_loss is None)
+    if use_smap:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as PSpec
+
+        def _shard_loss(theta_dv, p_cols, samples):
+            _, loss = _family_loss(theta_dv, p_cols, samples)
+            return jax.lax.pmean(loss, BATCH_AXIS)
+
+        def _smap(p_cols, samples, theta_dv):
+            pspec = PSpec(*([None] * (p_cols.ndim - 1)), BATCH_AXIS)
+            sspecs = {n: PSpec(*([None] * (v.ndim - 1)), BATCH_AXIS)
+                      for n, v in samples.items()}
+            # check_vma=False: XLA FFT's vjp produces a cotangent marked
+            # varying over the mesh axis while the primal output is not,
+            # which the varying-manual-axes checker rejects (correctness is
+            # covered by the sharded-vs-unsharded parity test)
+            return shard_map(_shard_loss, mesh=mesh,
+                             in_specs=(PSpec(), pspec, sspecs),
+                             out_specs=PSpec(),
+                             check_vma=False)(theta_dv, p_cols, samples)
+
     def total_loss(theta, lkey):
         with prec:
             if alg.resample:
                 p_cols, samples = _draw_family(lkey)
             else:
                 p_cols, samples = p_tr, input_samples
-            fields = eval_fields(theta["depvar"], p_cols, grids, samples)
-            loss = sum(jnp.mean(r(fields, p_cols) ** 2) for r in residuals)
+            if use_smap:
+                return _smap(p_cols, samples, theta["depvar"])
+            fields, loss = _family_loss(theta["depvar"], p_cols, samples)
             if alg.additional_loss is not None:
                 loss = loss + alg.additional_loss(fields, theta)
         return loss
@@ -357,4 +395,4 @@ def solve_pino_pde(pde_system: PDESystem, alg: PINOPDE, *,
     u = interp(p_tr, grids, input_samples)
     return PINOPDESolution(u=u, grids=grids, p=p_tr,
                            input_samples=input_samples, depvars=depvars,
-                           interp=interp, original=res)
+                           interp=interp, original=res, loss_fn=total_loss)

@@ -222,3 +222,50 @@ def test_grid_training_sharding_survives_jit():
                .lower(theta).compile().as_text())
     assert "all-reduce" in hlo, \
         "grid train set was baked in replicated; sharding lost under jit"
+
+
+def test_pino_pde_family_axis_sharding(mesh):
+    """PINOPDE operator training under the mesh: the family (P) axis of
+    the parameter columns / GRF input samples shards over devices
+    (`shard_batch` in-trace inside the loss).  Loss parity vs unsharded +
+    all-reduce present in the compiled HLO."""
+    import optax
+    from neuralpde_tpu import (FNO2D, GaussianRandomField, PINOPDE,
+                               solve_pino_pde)
+    from neuralpde_tpu.symbolic import expr as E
+
+    x, t = E.Sym("x"), E.Sym("t")
+    nu, u, f0 = E.Param("nu"), DepVar("u"), DepVar("f0")
+    eq = E.Eq(E.Deriv(u(x, t), (t,)), nu * E.Deriv(u(x, t), (x, x)))
+    bcs = [E.Eq(u(x, E.Num(0.0)), f0(x))]
+    sysd = PDESystem(eq, bcs,
+                     [Domain(x, Interval(0, 1)), Domain(t, Interval(0, 1))],
+                     ivs=[x, t], dvs=[u(x, t)], ps=[nu])
+
+    def run(sharded):
+        alg = PINOPDE(chain=FNO2D(2, width=8, modes=4, depth=2),
+                      opt=optax.adam(1e-3), bounds=[(0.05, 0.3)],
+                      number_of_parameters=2 * N_DEV,
+                      input_functions={f0(x): GaussianRandomField(0.2)},
+                      strategy=GridTraining(0.25))
+        if sharded:
+            with use_mesh(mesh):
+                return solve_pino_pde(sysd, alg, maxiters=2, inner_steps=1)
+        return solve_pino_pde(sysd, alg, maxiters=2, inner_steps=1)
+
+    sol_plain = run(False)
+    sol_shard = run(True)
+    np.testing.assert_allclose(float(sol_shard.original.objective),
+                               float(sol_plain.original.objective),
+                               rtol=1e-5)
+
+    # the shard_map path must (a) actually run local per-device FFTs with
+    # NO family-axis all-gather, and (b) pmean the loss (all-reduce)
+    theta = {"depvar": sol_shard.original.u["depvar"]}
+    with use_mesh(mesh):
+        hlo = (jax.jit(lambda th: sol_shard.loss_fn(th, jax.random.key(0)))
+               .lower(theta).compile().as_text())
+    assert "all-reduce" in hlo, \
+        "PINOPDE family axis not reduced across devices (shard_map lost)"
+    assert "all-gather" not in hlo, \
+        "family axis gathered — per-device FFT locality lost"
