@@ -46,6 +46,7 @@ from .gauss_newton import (
     build_ode_residual_vector, build_pino_residual_vector,
     build_residual_vector, lm_least_squares, solve_gauss_newton,
     solve_ode_gauss_newton, solve_pino_gauss_newton,
+    solve_pino_pde_gauss_newton,
     trust_region_least_squares,
 )
 from .utils.pytree import vector_to_parameters, parameters_to_vector

@@ -799,3 +799,48 @@ def solve_pino_gauss_newton(prob, alg, *, dt=None, method: str = "lm",
     interp = make_pino_interp(phi, res.u, n_out)
     u = interp(p_fin, t_fin)
     return PINOODESolution(u=u, t=t_fin, p=p_fin, interp=interp, original=res)
+
+
+def build_pino_pde_residual_vector(pde_system, alg):
+    """Flat residual for a `PDESystem` + `PINOPDE` operator config with
+    ``||r(θ)||² == PINOPDE loss`` (per-equation mean-square residual
+    fields, solvers/pino_pde.py `_family_loss`) on the fixed build-time
+    family.  Returns ``(r_fn, theta0, built)`` with `built` the shared
+    lowering namespace (solvers/pino_pde.py `_build`)."""
+    from .solvers.pino_pde import _build
+
+    if alg.additional_loss is not None:
+        raise ValueError(
+            "Gauss-Newton cannot fold PINOPDE(additional_loss=...) into the "
+            "least-squares residual vector — stack your extra terms as "
+            "residual rows via lm_least_squares instead")
+    if alg.resample:
+        raise ValueError(
+            "Gauss-Newton needs a deterministic objective: use "
+            "PINOPDE(resample=False) (polish the fixed build-time family)")
+    b = _build(pde_system, alg)
+    dtype = b.dtype
+
+    def r_fn(theta):
+        with b.prec:
+            fields = b.eval_fields(theta["depvar"], b.p_tr, b.grids,
+                                   b.input_samples)
+            rows = [r(fields, b.p_tr) for r in b.residuals]
+        return jnp.concatenate([
+            jnp.ravel(r) / jnp.sqrt(jnp.asarray(float(r.size), dtype))
+            for r in rows])
+
+    return r_fn, {"depvar": b.chain_params}, b
+
+
+def solve_pino_pde_gauss_newton(pde_system, alg, *, method: str = "lm",
+                                **kwargs):
+    """`solve_pino_pde` with Gauss-Newton: minimizes the operator-learning
+    least squares over the field-grid residuals.  Returns the same
+    `PINOPDESolution`.  Typical use: Adam pre-train via `solve_pino_pde`,
+    then polish with ``alg.init_params = sol.original.u["depvar"]``."""
+    from .solvers.pino_pde import _make_solution
+
+    r_fn, theta0, b = build_pino_pde_residual_vector(pde_system, alg)
+    res = _ls_driver(method)(r_fn, theta0, **kwargs)
+    return _make_solution(b, res.u["depvar"], res)

@@ -207,10 +207,11 @@ def _validate(pde_system: PDESystem, alg: PINOPDE, input_fns: dict):
                          f"equal the number of depvars ({len(pde_system.dvs)})")
 
 
-def solve_pino_pde(pde_system: PDESystem, alg: PINOPDE, *,
-                   abstol: float = 1e-8, verbose: bool = False,
-                   maxiters: int = 1000, key=None,
-                   inner_steps: int = 1) -> PINOPDESolution:
+def _build(pde_system: PDESystem, alg: PINOPDE):
+    """Shared lowering for `solve_pino_pde` and the Gauss-Newton driver:
+    validates, builds the training grids/family, the field evaluator, the
+    per-equation residual closures, and the total loss.  Returns a
+    namespace (see the attribute assignments at the end)."""
     dtype = default_float()
     input_fns = dict(alg.input_functions or {})
     _validate(pde_system, alg, input_fns)
@@ -375,24 +376,55 @@ def solve_pino_pde(pde_system: PDESystem, alg: PINOPDE, *,
 
     chain_params = (chain.init(jax.random.key(alg.seed))
                     if alg.init_params is None else alg.init_params)
-    opt = alg.opt or optax.adam(1e-3)
-    res = train_solve(_SimpleProblem(total_loss, {"depvar": chain_params}),
-                      opt, maxiters=maxiters, abstol=abstol, verbose=verbose,
-                      key=key, inner_steps=inner_steps)
 
+    class _Built:
+        pass
+
+    b = _Built()
+    b.total_loss = total_loss
+    b.family_loss = _family_loss
+    b.chain_params = chain_params
+    b.grids = grids
+    b.p_tr = p_tr
+    b.input_samples = input_samples
+    b.fn_names = fn_names
+    b.depvars = depvars
+    b.n_dv = n_dv
+    b.eval_fields = eval_fields
+    b.residuals = residuals
+    b.prec = prec
+    b.dtype = dtype
+    return b
+
+
+def _make_solution(b, theta_trained, res) -> PINOPDESolution:
     def interp(p_cols, gs, input_values):
-        vals = {n: jnp.asarray(v, dtype)
+        vals = {n: jnp.asarray(v, b.dtype)
                 for n, v in (input_values or {}).items()}
-        missing = set(fn_names) - set(vals)
+        missing = set(b.fn_names) - set(vals)
         if missing:
             raise ValueError(f"missing input_values for {sorted(missing)}")
-        with prec:
-            fields = eval_fields(res.u["depvar"], p_cols, gs, vals)
-        if n_dv == 1:
-            return fields[depvars[0]]
-        return jnp.stack([fields[n] for n in depvars])
+        with b.prec:
+            fields = b.eval_fields(theta_trained, p_cols, gs, vals)
+        if b.n_dv == 1:
+            return fields[b.depvars[0]]
+        return jnp.stack([fields[n] for n in b.depvars])
 
-    u = interp(p_tr, grids, input_samples)
-    return PINOPDESolution(u=u, grids=grids, p=p_tr,
-                           input_samples=input_samples, depvars=depvars,
-                           interp=interp, original=res, loss_fn=total_loss)
+    u = interp(b.p_tr, b.grids, b.input_samples)
+    return PINOPDESolution(u=u, grids=b.grids, p=b.p_tr,
+                           input_samples=b.input_samples, depvars=b.depvars,
+                           interp=interp, original=res,
+                           loss_fn=b.total_loss)
+
+
+def solve_pino_pde(pde_system: PDESystem, alg: PINOPDE, *,
+                   abstol: float = 1e-8, verbose: bool = False,
+                   maxiters: int = 1000, key=None,
+                   inner_steps: int = 1) -> PINOPDESolution:
+    b = _build(pde_system, alg)
+    opt = alg.opt or optax.adam(1e-3)
+    res = train_solve(_SimpleProblem(b.total_loss,
+                                     {"depvar": b.chain_params}),
+                      opt, maxiters=maxiters, abstol=abstol, verbose=verbose,
+                      key=key, inner_steps=inner_steps)
+    return _make_solution(b, res.u["depvar"], res)

@@ -525,3 +525,29 @@ def test_pino_pde_heat_family():
             * np.sin(PI * gx[:, None, None]))
     rel = np.linalg.norm(pred - want) / np.linalg.norm(want)
     assert rel < 0.15, rel
+
+
+def test_pino_pde_gauss_newton_polish():
+    """solve_pino_pde_gauss_newton polishes an Adam-trained operator: the
+    deterministic least-squares objective drops >= 10x; resample and
+    additional_loss configs are rejected."""
+    from neuralpde_tpu import solve_pino_pde_gauss_newton
+
+    sysd = _heat_system()
+    mk = lambda **kw: PINOPDE(chain=FNO2D(1, width=16, modes=6, depth=2),
+                              opt=optax.adam(3e-3), bounds=[(0.05, 0.5)],
+                              number_of_parameters=10,
+                              strategy=GridTraining(1 / 16), **kw)
+    sol = solve_pino_pde(sysd, mk(), maxiters=400, inner_steps=25)
+    adam_loss = float(sol.original.objective)
+    sol2 = solve_pino_pde_gauss_newton(
+        sysd, mk(init_params=sol.original.u["depvar"]), maxiters=30)
+    gn_loss = float(sol2.original.objective)
+    assert gn_loss < adam_loss / 10, (adam_loss, gn_loss)
+    assert sol2.u.shape == sol.u.shape
+
+    with pytest.raises(ValueError, match="resample"):
+        solve_pino_pde_gauss_newton(sysd, mk(resample=True), maxiters=1)
+    with pytest.raises(ValueError, match="additional_loss"):
+        solve_pino_pde_gauss_newton(
+            sysd, mk(additional_loss=lambda f, th: 0.0), maxiters=1)
