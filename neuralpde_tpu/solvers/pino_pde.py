@@ -137,6 +137,7 @@ class PINOPDESolution:
     depvars: Any
     interp: Any
     original: Any
+    input_axes: Any = None     # {name: [grid-axis indices]} (export needs it)
     loss_fn: Any = None        # the trained objective (theta, key) -> loss,
     retcode: str = "Success"   # exposed for diagnostics / polish drivers
 
@@ -387,6 +388,7 @@ def _build(pde_system: PDESystem, alg: PINOPDE):
     b.grids = grids
     b.p_tr = p_tr
     b.input_samples = input_samples
+    b.fn_axes = fn_axes
     b.fn_names = fn_names
     b.depvars = depvars
     b.n_dv = n_dv
@@ -412,19 +414,25 @@ def _make_solution(b, theta_trained, res) -> PINOPDESolution:
 
     u = interp(b.p_tr, b.grids, b.input_samples)
     return PINOPDESolution(u=u, grids=b.grids, p=b.p_tr,
-                           input_samples=b.input_samples, depvars=b.depvars,
+                           input_samples=b.input_samples,
+                           input_axes=dict(b.fn_axes), depvars=b.depvars,
                            interp=interp, original=res,
                            loss_fn=b.total_loss)
 
 
 def solve_pino_pde(pde_system: PDESystem, alg: PINOPDE, *,
                    abstol: float = 1e-8, verbose: bool = False,
-                   maxiters: int = 1000, key=None,
-                   inner_steps: int = 1) -> PINOPDESolution:
+                   maxiters: int = 1000, key=None, inner_steps: int = 1,
+                   callback=None, checkpoint_dir: str | None = None,
+                   checkpoint_every: int = 1000,
+                   profile_dir: str | None = None) -> PINOPDESolution:
     b = _build(pde_system, alg)
     opt = alg.opt or optax.adam(1e-3)
     res = train_solve(_SimpleProblem(b.total_loss,
                                      {"depvar": b.chain_params}),
                       opt, maxiters=maxiters, abstol=abstol, verbose=verbose,
-                      key=key, inner_steps=inner_steps)
+                      key=key, inner_steps=inner_steps, callback=callback,
+                      checkpoint_dir=checkpoint_dir,
+                      checkpoint_every=checkpoint_every,
+                      profile_dir=profile_dir)
     return _make_solution(b, res.u["depvar"], res)

@@ -48,6 +48,45 @@ def export_phi(phi, params, in_dim: int, *, batch: int | None = None,
     return blob, call
 
 
+def export_pino_pde(sol, *, grids=None, n_family: int | None = None,
+                    dtype=jnp.float32):
+    """Export a trained `PINOPDESolution` operator to StableHLO.
+
+    The evaluation grids are baked into the artifact (`grids=None` uses the
+    training grids — re-export for a different serving resolution; FNO
+    discretization transfer makes any uniform grid over the same domains
+    valid).  The exported signature is ``fn(p, *input_values)``: the
+    parameter columns ``(n_ps, P)`` followed by one ``(*axis_sizes, P)``
+    array per input function in name order.  ``n_family=None`` exports a
+    symbolic family dimension.
+
+    Matmul precision is inherited from the solve (`PINOPDE
+    (matmul_precision=...)` — the interp applies it internally)."""
+    gs = (sol.grids if grids is None
+          else [jnp.ravel(jnp.asarray(g)) for g in grids])
+    names = sorted(sol.input_samples)
+    axes = sol.input_axes or {}
+
+    def fn(p, *vals):
+        return sol.interp(p, gs, dict(zip(names, vals)))
+
+    n = (jax_export.symbolic_shape("n")[0] if n_family is None
+         else int(n_family))
+    n_ps = sol.p.shape[0]
+    specs = [jax.ShapeDtypeStruct((n_ps, n), dtype)]
+    for name in names:
+        sizes = tuple(int(gs[a].shape[0]) for a in axes[name])
+        specs.append(jax.ShapeDtypeStruct((*sizes, n), dtype))
+    exported = jax_export.export(jax.jit(fn))(*specs)
+    blob = exported.serialize()
+    loaded = jax_export.deserialize(blob)
+
+    def call(p, *vals):
+        return loaded.call(p, *vals)
+
+    return blob, call
+
+
 def save_exported(path: str, blob: bytes) -> None:
     with open(path, "wb") as f:
         f.write(blob)

@@ -226,3 +226,36 @@ def test_export_stamps_matmul_precision():
     assert "HIGHEST" not in str(jax_export.deserialize(blob0).mlir_module())
     out = call(jnp.ones((2, 4), jnp.float32))
     assert np.asarray(out).shape == (1, 4)
+
+
+def test_export_pino_pde_operator():
+    """A trained PINOPDE operator exports to StableHLO with grids baked in;
+    the loaded artifact reproduces sol() on params + input-function values
+    (symbolic family dimension)."""
+    import optax
+    from neuralpde_tpu import (FNO2D, GaussianRandomField, GridTraining,
+                               PDESystem, PINOPDE, solve_pino_pde)
+    from neuralpde_tpu.symbolic import expr as E
+    from neuralpde_tpu.symbolic.system import Domain, Interval
+    from neuralpde_tpu.utils.export import export_pino_pde
+
+    x, t = E.Sym("x"), E.Sym("t")
+    nu, u, f0 = E.Param("nu"), E.DepVar("u"), E.DepVar("f0")
+    eq = E.Eq(E.Deriv(u(x, t), (t,)), nu * E.Deriv(u(x, t), (x, x)))
+    sysd = PDESystem(eq, [E.Eq(u(x, E.Num(0.0)), f0(x))],
+                     [Domain(x, Interval(0, 1)), Domain(t, Interval(0, 1))],
+                     ivs=[x, t], dvs=[u(x, t)], ps=[nu])
+    grf = GaussianRandomField(0.2)
+    alg = PINOPDE(chain=FNO2D(2, width=8, modes=4, depth=2),
+                  opt=optax.adam(1e-3), bounds=[(0.05, 0.3)],
+                  number_of_parameters=4, input_functions={f0(x): grf},
+                  strategy=GridTraining(0.25))
+    sol = solve_pino_pde(sysd, alg, maxiters=3, inner_steps=1)
+
+    blob, call = export_pino_pde(sol)
+    assert isinstance(blob, (bytes, bytearray)) and len(blob) > 0
+    p = jnp.asarray([[0.1, 0.2]], jnp.float32)
+    ic = jnp.asarray(grf(jax.random.key(5), [sol.grids[0]], 2), jnp.float32)
+    got = np.asarray(call(p, ic))
+    want = np.asarray(sol(p=p, input_values={"f0": ic}))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
