@@ -818,6 +818,11 @@ def build_pino_pde_residual_vector(pde_system, alg):
         raise ValueError(
             "Gauss-Newton needs a deterministic objective: use "
             "PINOPDE(resample=False) (polish the fixed build-time family)")
+    if alg.causal_eps is not None:
+        raise ValueError(
+            "Gauss-Newton cannot express causal weighting as a fixed "
+            "least-squares residual (weights depend on the residuals); "
+            "polish with PINOPDE(causal_eps=None)")
     b = _build(pde_system, alg)
     dtype = b.dtype
 

@@ -106,6 +106,14 @@ class PINOPDE:
     their samplers — samplers must then be JAX-traceable, as
     `GaussianRandomField` is) instead of training on the fixed build-time
     family; the StochasticTraining analog for operator learning.
+    causal_eps: causal (time-marching) weighting of the interior residual
+    fields (Wang et al. 2022): per time node k on `causal_time_var`
+    (default: the last independent variable), the slice loss L_k is
+    weighted exp(-eps * Δt * Σ_{j<k} L_j) with gradient-blocked weights —
+    the dt-normalized continuous form shared with
+    `SeparableTraining(causal=...)`, so eps is node-count-independent.
+    Slice means are taken over the GLOBAL family (pmean under the mesh).
+    Boundary conditions stay unweighted.
     matmul_precision: dot-precision context for the loss (the round-3
     finding: TPU default f32 matmuls run bf16 passes; "highest" restores
     true-f32 accuracy floors)."""
@@ -119,6 +127,8 @@ class PINOPDE:
     additional_loss: Callable | None = None
     input_functions: Any = None
     resample: bool = False
+    causal_eps: float | None = None
+    causal_time_var: Any = None
     matmul_precision: str | None = None
     seed: int = 0
 
@@ -327,10 +337,38 @@ def _build(pde_system: PDESystem, alg: PINOPDE):
                 sampler(sub, [grids[a] for a in axes], n_fam), dtype)
         return p_cols, samples
 
-    def _family_loss(theta_dv, p_cols, samples):
+    n_eq = len(pde_system.eqs)
+    if alg.causal_eps is not None:
+        causal_name = (ivs[-1] if alg.causal_time_var is None
+                       else getattr(alg.causal_time_var, "name",
+                                    str(alg.causal_time_var)))
+        if causal_name not in ivs:
+            raise ValueError(f"causal_time_var {causal_name!r} is not an "
+                             f"independent variable ({ivs})")
+        t_ax = ivs.index(causal_name)
+        if grids[t_ax].shape[0] < 2:
+            raise ValueError("causal weighting needs >= 2 time nodes")
+        dt_node = float(grids[t_ax][1] - grids[t_ax][0])
+
+    def _family_loss(theta_dv, p_cols, samples, mesh_axis=None):
         fields = eval_fields(theta_dv, p_cols, grids, samples)
-        return fields, sum(jnp.mean(r(fields, p_cols) ** 2)
-                           for r in residuals)
+        rows = [r(fields, p_cols) for r in residuals]
+        if alg.causal_eps is None:
+            return fields, sum(jnp.mean(r ** 2) for r in rows)
+        loss = 0.0
+        for i, r in enumerate(rows):
+            if i < n_eq and r.ndim == ndim + 1 and r.shape[t_ax] > 1:
+                other = tuple(a for a in range(r.ndim) if a != t_ax)
+                L = jnp.mean(r ** 2, axis=other)            # (T,)
+                if mesh_axis is not None:
+                    L = jax.lax.pmean(L, mesh_axis)         # global family
+                csum = jnp.cumsum(L) - L                    # exclusive
+                w = jax.lax.stop_gradient(
+                    jnp.exp(-alg.causal_eps * dt_node * csum))
+                loss = loss + jnp.mean(w * L)
+            else:
+                loss = loss + jnp.mean(r ** 2)
+        return fields, loss
 
     # family-axis data parallelism: under an active mesh the trailing (P)
     # axis of the parameter columns / input samples shards over devices
@@ -346,7 +384,10 @@ def _build(pde_system: PDESystem, alg: PINOPDE):
         from jax.sharding import PartitionSpec as PSpec
 
         def _shard_loss(theta_dv, p_cols, samples):
-            _, loss = _family_loss(theta_dv, p_cols, samples)
+            # causal slice-means pmean inside (global family); the final
+            # pmean is a no-op on those rows and averages the BC rows
+            _, loss = _family_loss(theta_dv, p_cols, samples,
+                                   mesh_axis=BATCH_AXIS)
             return jax.lax.pmean(loss, BATCH_AXIS)
 
         def _smap(p_cols, samples, theta_dv):

@@ -269,3 +269,33 @@ def test_pino_pde_family_axis_sharding(mesh):
         "PINOPDE family axis not reduced across devices (shard_map lost)"
     assert "all-gather" not in hlo, \
         "family axis gathered — per-device FFT locality lost"
+
+
+def test_pino_pde_causal_mesh_parity(mesh):
+    """Causal slice weights use the GLOBAL family mean (pmean inside the
+    shard_map): loss parity sharded vs unsharded with causal_eps on."""
+    import optax
+    from neuralpde_tpu import FNO2D, PINOPDE, solve_pino_pde
+    from neuralpde_tpu.symbolic import expr as E
+
+    x, t = E.Sym("x"), E.Sym("t")
+    nu, u = E.Param("nu"), DepVar("u")
+    sysd = PDESystem(
+        E.Eq(E.Deriv(u(x, t), (t,)), nu * E.Deriv(u(x, t), (x, x))),
+        [E.Eq(u(x, E.Num(0.0)), npde.sin(np.pi * x))],
+        [Domain(x, Interval(0, 1)), Domain(t, Interval(0, 1))],
+        ivs=[x, t], dvs=[u(x, t)], ps=[nu])
+
+    def run(shard):
+        alg = PINOPDE(chain=FNO2D(1, width=8, modes=4, depth=2),
+                      opt=optax.adam(1e-3), bounds=[(0.05, 0.3)],
+                      number_of_parameters=2 * N_DEV, causal_eps=3.0,
+                      strategy=GridTraining(0.25))
+        if shard:
+            with use_mesh(mesh):
+                return solve_pino_pde(sysd, alg, maxiters=2, inner_steps=1)
+        return solve_pino_pde(sysd, alg, maxiters=2, inner_steps=1)
+
+    a, b = run(False), run(True)
+    np.testing.assert_allclose(float(b.original.objective),
+                               float(a.original.objective), rtol=1e-5)

@@ -551,3 +551,46 @@ def test_pino_pde_gauss_newton_polish():
     with pytest.raises(ValueError, match="additional_loss"):
         solve_pino_pde_gauss_newton(
             sysd, mk(additional_loss=lambda f, th: 0.0), maxiters=1)
+
+
+def test_pino_pde_causal_weighting_matches_manual():
+    """causal_eps weights the interior residual's time slices by
+    exp(-eps*dt*cumsum(L)) (gradient-blocked, dt-normalized like
+    SeparableTraining); the total loss matches a manual recomputation from
+    the same residual fields, and BCs stay unweighted."""
+    sysd = _heat_system()
+    eps = 5.0
+    alg = PINOPDE(chain=FNO2D(1, width=8, modes=4, depth=2),
+                  bounds=[(0.05, 0.5)], number_of_parameters=4,
+                  causal_eps=eps, strategy=GridTraining(0.25))
+    sol = solve_pino_pde(sysd, alg, maxiters=2, inner_steps=1)
+    theta = {"depvar": sol.original.u["depvar"]}
+    got = float(sol.loss_fn(theta, jax.random.key(0)))
+
+    # manual: rebuild the residual fields through the public surface
+    from neuralpde_tpu.compile.fieldgrid import (FieldGridContext,
+                                                 build_field_residual)
+    gx = np.asarray(sol.grids[0])
+    gt = np.asarray(sol.grids[1])
+    ctx = FieldGridContext(iv_names=["x", "t"],
+                           grids=[jnp.asarray(gx), jnp.asarray(gt)],
+                           dict_depvar_input={"u": ["x", "t"]},
+                           eq_params=["nu"])
+    fields = {"u": sol.u}
+    dt_node = gt[1] - gt[0]
+    want = 0.0
+    for i, eq in enumerate(sysd.eqs + sysd.bcs):
+        r = np.asarray(build_field_residual(eq, ctx)(fields, sol.p))
+        if i < len(sysd.eqs):
+            L = (r ** 2).mean(axis=(0, 2))
+            csum = np.cumsum(L) - L
+            w = np.exp(-eps * dt_node * csum)
+            want += (w * L).mean()
+        else:
+            want += (r ** 2).mean()
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    # GN rejects causal configs
+    from neuralpde_tpu import solve_pino_pde_gauss_newton
+    with pytest.raises(ValueError, match="causal"):
+        solve_pino_pde_gauss_newton(sysd, alg, maxiters=1)
