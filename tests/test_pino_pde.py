@@ -594,3 +594,56 @@ def test_pino_pde_causal_weighting_matches_manual():
     from neuralpde_tpu import solve_pino_pde_gauss_newton
     with pytest.raises(ValueError, match="causal"):
         solve_pino_pde_gauss_newton(sysd, alg, maxiters=1)
+
+
+# ------------------------------------------- NS vorticity flagship (gated)
+
+def test_ns_vorticity_operator_downscaled():
+    """2-D Navier-Stokes vorticity-streamfunction operator from
+    examples/ns_vorticity_pino.py, tiny: coupled w/psi system with a
+    function-valued GRF initial vorticity, gauge-pinning additional_loss,
+    periodic pairs — gates the flagship example end-to-end (full-budget
+    accuracy numbers in PERF.md).  Also self-checks the example's in-script
+    pseudo-spectral reference against the exact heat decay."""
+    import os
+    import sys
+
+    sys.path.append(os.path.join(os.path.dirname(__file__), "..", "examples"))
+    import ns_vorticity_pino as nsv
+    from neuralpde_tpu import FNO3D, GridTraining, PINOPDE, solve_pino_pde
+
+    # spectral reference: single-mode field has no advection -> exact decay
+    m, nu = 16, 0.05
+    g = np.linspace(0, 1, m + 1)
+    X, _ = np.meshgrid(g, g, indexing="ij")
+    w1 = np.sin(2 * np.pi * X)
+    ts = np.linspace(0, 0.25, 3)
+    got = nsv.reference_ns_vorticity(w1, nu, ts, n=32, substeps=4)
+    want = w1[:, :, None] * np.exp(-nu * (2 * np.pi) ** 2 * ts)
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-8
+
+    NU, SIGMA, LSCALE, TMAX = 0.02, 3.0, 0.25, 0.5
+    S = SIGMA * (LSCALE / (2 * np.pi)) ** 2 * 10
+    system, w0_call = nsv.build_system(NU, S, TMAX)
+    sampler = nsv.zero_mean_grf(LSCALE, SIGMA**2)
+    gauge = lambda fields, theta: 10.0 * jnp.mean(
+        jnp.mean(fields["psi"], axis=(0, 1)) ** 2)
+    alg = PINOPDE(chain=FNO3D(1, width=8, modes=(4, 4, 3), depth=2,
+                              out_channels=2),
+                  opt=optax.adam(2e-3), number_of_parameters=2,
+                  input_functions={w0_call: sampler}, additional_loss=gauge,
+                  strategy=GridTraining([1 / 8, 1 / 8, TMAX / 4]))
+    sol = solve_pino_pde(system, alg, maxiters=30, inner_steps=10)
+    assert np.isfinite(float(sol.original.objective))
+    assert float(sol.original.objective) < float(sol.original.history[0])
+
+    # held-out ICs evaluate through the function-channel path; the sampled
+    # zero-mean constraint must survive prediction plumbing (shape + finite)
+    test_ic = np.asarray(sampler(jax.random.key(1),
+                                 [sol.grids[0], sol.grids[1]], 2))
+    pred = np.asarray(sol(input_values={"w0": jnp.asarray(test_ic)}))
+    assert pred.shape == (2, 9, 9, 5, 2)
+    assert np.all(np.isfinite(pred))
+    # IC slice of the vorticity channel aligns with the sampled w0 layout
+    ic_err = np.linalg.norm(pred[0, :, :, 0, :] - test_ic)
+    assert np.isfinite(ic_err)
