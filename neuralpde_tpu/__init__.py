@@ -41,6 +41,7 @@ from .parallel.mesh import (
     make_mesh, make_mesh_2d, replicate_params, shard_batch, shard_params_tp,
     use_mesh,
 )
+from .parallel.ensemble import EnsembleResult, solve_ensemble
 from .train import SolveResult, solve, solve_hybrid
 from .gauss_newton import (
     build_ode_residual_vector, build_pino_residual_vector,
