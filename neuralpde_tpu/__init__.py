@@ -52,7 +52,7 @@ from .gauss_newton import (
 )
 from .utils.pytree import vector_to_parameters, parameters_to_vector
 from .nn.dgm import DGM, DGMLSTMLayer
-from .nn.deeponet import DeepONet
+from .nn.deeponet import DeepONet, DeepONetPDE
 from .nn.fno import FNO1D, FNO2D, FNO3D, SpectralConv1D, SpectralConv2D, SpectralConv3D
 from .nn.kan import KANLayer, kan
 from .nn.separable import SeparableNet, separable_mlp

@@ -37,6 +37,7 @@ import optax
 from ..config import default_float
 from ..compile.fieldgrid import FieldGridContext, build_field_residual
 from ..parallel.mesh import BATCH_AXIS, get_mesh
+from ..nn.deeponet import DeepONetPDE
 from ..nn.fno import FNO1D, FNO2D, FNO3D
 from ..strategies import GridTraining, TrainingStrategy, julia_range
 from ..symbolic.system import PDESystem, infimum, supremum
@@ -94,7 +95,8 @@ class GaussianRandomField:
 @dataclass
 class PINOPDE:
     """chain: `FNO3D`/`FNO2D`/`FNO1D` matching the system's
-    independent-variable count;
+    independent-variable count, or a `DeepONetPDE` (mesh-free trunk;
+    scalar-parameter families only);
     bounds: list of (lb, ub) per `PDESystem.ps` parameter, declaration
     order; number_of_parameters: train-set size along the family axis.
     input_functions: {declared_call: sampler} for function-valued family
@@ -167,7 +169,17 @@ class PINOPDESolution:
 
 def _validate(pde_system: PDESystem, alg: PINOPDE, input_fns: dict):
     ivs = [v.name for v in pde_system.ivs]
-    if isinstance(alg.chain, FNO3D):
+    if isinstance(alg.chain, DeepONetPDE):
+        if alg.chain.grid_ndim != len(ivs):
+            raise ValueError(f"DeepONetPDE(grid_ndim={alg.chain.grid_ndim}) "
+                             f"but the system has {len(ivs)} independent "
+                             f"variables ({ivs})")
+        if input_fns:
+            raise ValueError(
+                "DeepONetPDE takes scalar parameter families only — "
+                "function-valued operator inputs (input_functions=) need an "
+                "FNO backbone (FNO1D/2D/3D)")
+    elif isinstance(alg.chain, FNO3D):
         if len(ivs) != 3:
             raise ValueError(f"FNO3D expects 3 independent variables, the "
                              f"system has {len(ivs)} ({ivs})")
@@ -181,8 +193,9 @@ def _validate(pde_system: PDESystem, alg: PINOPDE, input_fns: dict):
                              f"system has {len(ivs)} ({ivs})")
     else:
         raise ValueError("PINOPDE requires an FNO chain (FNO3D/FNO2D/FNO1D "
-                         "matching the independent-variable count); for "
-                         "pointwise networks use PhysicsInformedNN")
+                         "matching the independent-variable count) or a "
+                         "DeepONetPDE; for pointwise networks use "
+                         "PhysicsInformedNN")
     for d in pde_system.dvs:
         args = [a.name for a in d.args]
         if args != ivs:
@@ -232,8 +245,9 @@ def _build(pde_system: PDESystem, alg: PINOPDE):
 
     strategy = alg.strategy
     if not isinstance(strategy, GridTraining) or strategy.dx is None:
-        raise ValueError("PINOPDE requires GridTraining(dx): the FNO's FFT "
-                         "axes need a uniform tensor grid")
+        raise ValueError("PINOPDE requires GridTraining(dx): the field-grid "
+                         "residual FD stencils (and the FNO FFT axes) need "
+                         "a uniform tensor grid")
     dxs = (list(strategy.dx) if isinstance(strategy.dx, (list, tuple))
            else [strategy.dx] * len(ivs))
     dom = {d.variables.name: d.domain for d in pde_system.domains}

@@ -647,3 +647,58 @@ def test_ns_vorticity_operator_downscaled():
     # IC slice of the vorticity channel aligns with the sampled w0 layout
     ic_err = np.linalg.norm(pred[0, :, :, 0, :] - test_ic)
     assert np.isfinite(ic_err)
+
+
+# --------------------------------------------- DeepONetPDE backbone (PI-DeepONet)
+
+def test_pino_pde_deeponet_heat_family():
+    """PI-DeepONet backbone on the heat family: branch eats the parameter
+    columns, trunk the grid coordinates; same lowering, same accuracy class
+    as the FNO2D row, and the trunk is MESH-FREE — evaluation on a
+    non-uniform grid (which FNO's FFT resampling cannot do) matches the
+    analytic solution."""
+    from neuralpde_tpu import DeepONetPDE
+
+    sysd = _heat_system()
+    alg = PINOPDE(chain=DeepONetPDE(1, 2, latent=32, branch_sizes=(32,),
+                                    trunk_sizes=(32, 32)),
+                  opt=optax.adam(3e-3), bounds=[(0.05, 0.5)],
+                  number_of_parameters=10, strategy=GridTraining(1 / 16))
+    sol = solve_pino_pde(sysd, alg, maxiters=800, inner_steps=25)
+    assert sol.u.shape == (17, 17, 10)
+
+    ps = np.linspace(0.1, 0.45, 7)
+    # non-uniform evaluation grid: Chebyshev-clustered nodes in x, t
+    gx = 0.5 * (1 - np.cos(np.linspace(0, PI, 29)))
+    gt = np.sort(np.concatenate([[0.0, 1.0],
+                                 np.random.default_rng(0).uniform(0, 1, 21)]))
+    pred = np.asarray(sol(p=ps[None, :], grids=[gx, gt]))
+    want = (np.exp(-ps[None, None, :] * PI**2 * gt[None, :, None])
+            * np.sin(PI * gx[:, None, None]))
+    rel = np.linalg.norm(pred - want) / np.linalg.norm(want)
+    assert rel < 0.15, rel
+
+
+def test_pino_pde_deeponet_validation():
+    from neuralpde_tpu import DeepONetPDE
+
+    sysd = _heat_system()
+    with pytest.raises(ValueError, match="grid_ndim"):
+        solve_pino_pde(sysd, PINOPDE(chain=DeepONetPDE(1, 3),
+                                     bounds=[(0.05, 0.5)],
+                                     strategy=GridTraining(0.25)), maxiters=1)
+    # function-valued inputs need an FNO backbone
+    x, t = E.Sym("x"), E.Sym("t")
+    nu, u, f0 = E.Param("nu"), E.DepVar("u"), E.DepVar("f0")
+    sysf = PDESystem(
+        E.Eq(E.Deriv(u(x, t), (t,)), nu * E.Deriv(u(x, t), (x, x))),
+        [E.Eq(u(x, E.Num(0.0)), f0(x))],
+        [Domain(x, Interval(0.0, 1.0)), Domain(t, Interval(0.0, 1.0))],
+        ivs=[x, t], dvs=[u(x, t)], ps=[nu])
+    with pytest.raises(ValueError, match="FNO backbone"):
+        solve_pino_pde(sysf, PINOPDE(
+            chain=DeepONetPDE(2, 2), bounds=[(0.05, 0.5)],
+            input_functions={f0(x): GaussianRandomField(0.2)},
+            strategy=GridTraining(0.25)), maxiters=1)
+    with pytest.raises(ValueError, match="scalar parameter channel"):
+        DeepONetPDE(0, 2)
