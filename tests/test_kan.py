@@ -95,3 +95,36 @@ def test_kan_gauss_newton_polish():
     res = solve_gauss_newton(prob.with_params(r0.u), maxiters=30)
     assert res.objective < r0.objective * 0.1, \
         (res.objective, r0.objective)
+
+
+def test_kan_separable_composition():
+    """KAN axis factors inside a SeparableNet: the factorized (SPINN) path
+    evaluates Chebyshev-KAN axis nets through Taylor-mode jets — 2-D
+    Poisson trains on the tensor grid.  KAN factors converge slower than
+    MLP factors on this problem (measured: rel L2 0.085 @ 3000 Adam iters
+    vs ~1e-3 for separable_mlp at the same budget), so the CI gate is
+    structural: the composition lowers, trains, and improves."""
+    from neuralpde_tpu import SeparableNet, SeparableTraining
+
+    x, y = symbols("x y")
+    u = DepVar("u")
+    lap = (Differential(x) ** 2)(u(x, y)) + (Differential(y) ** 2)(u(x, y))
+    system = PDESystem(
+        [Eq(lap, -2 * PI**2 * sin(PI * x) * sin(PI * y))],
+        [Eq(u(0.0, y), 0.0), Eq(u(1.0, y), 0.0),
+         Eq(u(x, 0.0), 0.0), Eq(u(x, 1.0), 0.0)],
+        [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))],
+        ivs=[x, y], dvs=[u(x, y)])
+    net = SeparableNet([kan([1, 8, 8], degree=5) for _ in range(2)])
+    disc = PhysicsInformedNN(net, SeparableTraining(dx=1 / 16),
+                             dtype=jnp.float64)
+    prob = discretize(system, disc)
+    res = solve(prob, optax.adam(1e-2), maxiters=600, inner_steps=50)
+    assert np.isfinite(res.objective)
+    assert res.objective < res.history[0] * 0.1
+    gx = np.linspace(0, 1, 33)
+    cord = jnp.stack([np.repeat(gx, 33), np.tile(gx, 33)])
+    pred = np.asarray(prob.pinnrep.phi(cord, res.u["depvar"])).ravel()
+    want = (np.sin(PI * np.repeat(gx, 33)) * np.sin(PI * np.tile(gx, 33)))
+    rel = np.linalg.norm(pred - want) / np.linalg.norm(want)
+    assert rel < 0.6, rel
