@@ -18,7 +18,11 @@ import time
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/neuralpde_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# threshold 0: every call to solve()/solve_ensemble() builds a FRESH jit
+# closure (new cache entry, full recompile) — caching even fast-compiling
+# programs lets repeat calls hit the disk cache so the two-point timing
+# below measures steps, not trace/compile
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np
 import optax
@@ -45,27 +49,38 @@ def poisson_prob():
                                         GridTraining(1 / 63)))
 
 
-def timed(fn, reps=5):
-    fn()                                     # compile + warm
+CHUNK = 100
+
+
+def per_step(run, reps=3, small=CHUNK, big=6 * CHUNK):
+    """Two-point timing: each run() builds a fresh jit closure, so a single
+    call pays trace + (cached) compile + dispatch no matter how many steps
+    it scans.  Timing small- and big-iteration runs of the SAME chunked
+    program shape (inner_steps fixed -> identical HLO, persistent-cache
+    hit) and differencing cancels that per-call constant:
+    t_step = (T(big) - T(small)) / (big - small)."""
+    run(small)                               # compile + fill the disk cache
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        fn()
-        ts.append(time.perf_counter() - t0)
+        run(small)
+        t1 = time.perf_counter()
+        run(big)
+        t2 = time.perf_counter()
+        ts.append(((t2 - t1) - (t1 - t0)) / (big - small))
     return float(np.median(ts))
 
 
 def main():
     print("devices:", jax.devices(), flush=True)
     prob = poisson_prob()
-    inner = 100
-    t_solo = timed(lambda: solve(prob, optax.adam(1e-3), maxiters=inner,
-                                 inner_steps=inner)) / inner
+    t_solo = per_step(lambda it: solve(prob, optax.adam(1e-3), maxiters=it,
+                                       inner_steps=CHUNK))
     print(f"solo: {t_solo*1e3:.3f} ms/step", flush=True)
     for n in (2, 4, 8, 16):
-        t_ens = timed(lambda: solve_ensemble(
-            prob, optax.adam(1e-3), maxiters=inner, inner_steps=inner,
-            n_ensemble=n), reps=3) / inner
+        t_ens = per_step(lambda it: solve_ensemble(
+            prob, optax.adam(1e-3), maxiters=it, inner_steps=CHUNK,
+            n_ensemble=n))
         eff = n * t_solo / t_ens
         print(f"n={n:2d}: {t_ens*1e3:.3f} ms/step  "
               f"({t_ens/t_solo:.2f}x solo; per-member efficiency "
