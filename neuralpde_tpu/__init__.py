@@ -54,6 +54,7 @@ from .utils.pytree import vector_to_parameters, parameters_to_vector
 from .nn.dgm import DGM, DGMLSTMLayer
 from .nn.deeponet import DeepONet, DeepONetPDE
 from .nn.fno import FNO1D, FNO2D, FNO3D, SpectralConv1D, SpectralConv2D, SpectralConv3D
+from .nn.fbpinn import FBPINN
 from .nn.kan import KANLayer, kan
 from .nn.separable import SeparableNet, separable_mlp
 from .compile.separable import SeparableTraining, build_separable_residual

@@ -1,0 +1,99 @@
+"""Finite-basis PINNs (nn/fbpinn.py, beyond reference — the reference's
+only decomposition tool is sequential neural_adapter transfer,
+src/neural_adapter.jl; FBPINN is Moseley et al. 2023)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from neuralpde_tpu import (
+    DepVar, Differential, Domain, Eq, FBPINN, GridTraining, Interval,
+    PDESystem, PhysicsInformedNN, cos, discretize, mlp, solve, symbols,
+)
+
+PI = float(np.pi)
+
+
+def test_fbpinn_partition_of_unity_and_shapes():
+    net = FBPINN([(0, 1), (-1, 1)], subdivisions=(3, 2), hidden=(8,))
+    assert net.n_subdomains == 6
+    params = net.init(jax.random.key(0))
+    # stacked local-net params: leading (J,) axis
+    leaf = jax.tree.leaves(params)[0]
+    assert leaf.shape[0] == 6
+
+    x = jnp.stack([jnp.linspace(0, 1, 41), jnp.linspace(-1, 1, 41)])
+    w = net._windows(x)
+    assert w.shape == (6, 41)
+    np.testing.assert_allclose(np.asarray(jnp.sum(w, axis=0)), 1.0,
+                               rtol=1e-6)
+    assert float(jnp.min(w)) >= 0.0
+    y = net.apply(params, x)
+    assert y.shape == (1, 41)
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_fbpinn_validation():
+    with pytest.raises(ValueError, match="overlap"):
+        FBPINN([(0, 1)], overlap=0.0)
+    with pytest.raises(ValueError, match="lo < hi"):
+        FBPINN([(1, 0)])
+    with pytest.raises(ValueError, match="subdivisions"):
+        FBPINN([(0, 1)], subdivisions=0)
+
+
+def test_fbpinn_windows_are_c2():
+    """Second derivative of the blended trial function is continuous across
+    a window-support edge (squared-cosine windows): FD-sample u'' on a fine
+    line through an edge and check there is no O(1) jump."""
+    net = FBPINN([(0, 1)], subdivisions=4, hidden=(8,))
+    params = net.init(jax.random.key(1))
+
+    def u(x):
+        return net.apply(params, x[None, None])[0, 0]
+
+    d2 = jax.vmap(jax.grad(jax.grad(u)))
+    # support edge of subdomain 0: center 0.125 + half 0.1875 = 0.3125
+    xs = jnp.linspace(0.3120, 0.3130, 201, dtype=jnp.float64)
+    vals = np.asarray(d2(xs))
+    assert np.all(np.isfinite(vals))
+    assert np.max(np.abs(np.diff(vals))) < 1e-2   # no jump discontinuity
+
+
+def test_fbpinn_multiscale_ode_beats_plain_mlp():
+    """The paper's signature problem: du/dx = cos(omega x), u(0) = 0 with
+    omega = 15 over [0, 2pi] — spectral bias makes a single tanh MLP stall
+    at this budget while 15 windowed local nets fit their low-frequency
+    local pieces."""
+    omega = 15.0
+    x = symbols("x")
+    u = DepVar("u")
+    system = PDESystem([Eq(Differential(x)(u(x)), cos(omega * x))],
+                       [Eq(u(0.0), 0.0)],
+                       [Domain(x, Interval(0, 2 * PI))],
+                       ivs=[x], dvs=[u(x)])
+    strat = GridTraining(2 * PI / 400)
+    budget = dict(maxiters=3000, inner_steps=100)
+
+    def rel_l2(prob, res):
+        g = np.linspace(0, 2 * PI, 801)
+        pred = np.asarray(prob.pinnrep.phi(g[None, :],
+                                           res.u["depvar"])).ravel()
+        want = np.sin(omega * g) / omega
+        return np.linalg.norm(pred - want) / np.linalg.norm(want)
+
+    fb = FBPINN([(0, 2 * PI)], subdivisions=15, hidden=(16,))
+    prob_fb = discretize(system, PhysicsInformedNN(fb, strat,
+                                                   dtype=jnp.float64))
+    res_fb = solve(prob_fb, optax.adam(5e-3), **budget)
+    rel_fb = rel_l2(prob_fb, res_fb)
+
+    prob_mlp = discretize(system, PhysicsInformedNN(
+        mlp([1, 64, 64, 1]), strat, dtype=jnp.float64))
+    res_mlp = solve(prob_mlp, optax.adam(5e-3), **budget)
+    rel_mlp = rel_l2(prob_mlp, res_mlp)
+
+    assert rel_fb < 0.05, rel_fb
+    assert rel_fb < rel_mlp / 4, (rel_fb, rel_mlp)
