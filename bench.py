@@ -846,6 +846,29 @@ def accuracy_suite():
     return out
 
 
+def _arm_device_watchdog(seconds: float = 900.0):
+    """Emit an honest error JSON line and exit if device init never
+    completes (a dead TPU tunnel hangs jax.devices() indefinitely; the
+    driver needs SOME artifact line rather than a silent hang).  Returns a
+    disarm callable to invoke once the backend has answered."""
+    import os
+    import threading
+
+    fired = threading.Event()
+
+    def watchdog():
+        if not fired.wait(seconds):
+            print(json.dumps({
+                "metric": "2d_poisson_collocation_points_per_sec",
+                "value": 0, "unit": "points/sec", "vs_baseline": 0,
+                "error": f"device init exceeded {seconds:.0f}s "
+                         "(TPU tunnel unreachable)"}), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    return fired.set
+
+
 def main():
     import jax
 
@@ -853,6 +876,10 @@ def main():
     # first TPU compilation
     jax.config.update("jax_compilation_cache_dir", "/tmp/neuralpde_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    disarm = _arm_device_watchdog()
+    jax.devices()            # blocks here if the tunnel is dead
+    disarm()
 
     # dense headline: width-64 jet pipeline, microbatched 2M batch
     pps = _poisson_pps(BATCH, microbatch=MICROBATCH)
