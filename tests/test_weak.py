@@ -1,0 +1,248 @@
+"""hp-VPINN weak-form training (`WeakTraining`) — beyond reference.
+
+Validates the variational machinery itself (test bases, normalization,
+the integration-by-parts identity on the real network) plus end-to-end
+accuracy, routing, and composition gates.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+import optax
+
+import neuralpde_tpu as npde
+from neuralpde_tpu import (
+    DepVar, Differential, Domain, Eq, Integral, Interval, MiniMaxAdaptiveLoss,
+    PDESystem, PhysicsInformedNN, WeakTraining, discretize, mlp, solve,
+    symbols, symbolic_discretize,
+)
+from neuralpde_tpu.compile.lower import LoweringContext, build_residual_function
+from neuralpde_tpu.compile.weak import (
+    _axis_matrices, _ibp_groups, _test_basis,
+)
+from neuralpde_tpu.symbolic.expr import Call, Deriv, Sym, expand_derivatives
+
+x, y = symbols("x y")
+u = DepVar("u")
+v = DepVar("v")
+Dx, Dy = Differential(x), Differential(y)
+Dxx, Dyy = Differential(x) ** 2, Differential(y) ** 2
+
+
+def _poisson_1d():
+    eq = Eq(Dxx(u(x)), -np.pi**2 * npde.sin(np.pi * x))
+    bcs = [Eq(u(0.0), 0.0), Eq(u(1.0), 0.0)]
+    return PDESystem(eq, bcs, [Domain(x, Interval(0, 1))], [x], [u(x)])
+
+
+# ---------------------------------------------------------------------------
+# basis & normalization invariants
+# ---------------------------------------------------------------------------
+
+def test_basis_vanishing_conditions():
+    L = np.polynomial.legendre
+    for k, c in enumerate(_test_basis(6, 1)):
+        for xi in (-1.0, 1.0):
+            assert abs(L.legval(xi, c)) < 1e-12, f"v_{k} must vanish at {xi}"
+    for k, c in enumerate(_test_basis(6, 2)):
+        for xi in (-1.0, 1.0):
+            assert abs(L.legval(xi, c)) < 1e-12
+            assert abs(L.legval(xi, L.legder(c))) < 1e-12, \
+                f"v'_{k} must vanish at {xi} for the double-IBP basis"
+
+
+def test_constant_residual_rows():
+    """ibp=0 basis includes P_0: a constant residual projects exactly onto
+    the k=0 rows with value == the constant (the normalization contract:
+    rows live on the strong-form residual scale), zero elsewhere."""
+    nodes, w, C = _axis_matrices(5, 0, 9, 0.0, 2.0, elements=3, max_order=0)
+    r = np.full((3, 9), 2.5)  # constant residual on the (E, q) node grid
+    F = np.einsum("eq,qk->ek", r, np.asarray(C[0]))
+    assert np.allclose(F[:, 0], 2.5, atol=1e-12)
+    assert np.allclose(F[:, 1:], 0.0, atol=1e-12)
+
+
+def test_rows_bounded_by_element_rms():
+    """Cauchy-Schwarz: every normalized row is bounded by the element RMS
+    residual — the loss can never exceed the strong-form mean square built
+    from the same nodes/weights."""
+    rng = np.random.default_rng(0)
+    nodes, w, C = _axis_matrices(7, 1, 16, -1.0, 3.0, elements=4, max_order=0)
+    r = rng.normal(size=(4, 16))
+    F = np.einsum("eq,qk->ek", r, np.asarray(C[0]))
+    h = 1.0
+    w_el = w.reshape(4, 16) / (h / 1.0)  # physical weights; h=1 per element
+    rms = np.sqrt(np.einsum("eq,eq->e", r * r, w.reshape(4, 16)) / h)
+    assert (np.abs(F) <= rms[:, None] * (1 + 1e-10)).all()
+
+
+# ---------------------------------------------------------------------------
+# integration-by-parts identity on the real network
+# ---------------------------------------------------------------------------
+
+def test_ibp_identity_on_network():
+    """∫ u'' v = −∫ u' v' = ∫ u v'' for the vanish-2 basis — the projection
+    computed from the m=0/1/2 contraction matrices and the correspondingly
+    reduced symbolic derivative must agree up to quadrature error."""
+    system = _poisson_1d()
+    disc = PhysicsInformedNN(mlp([1, 16, 1]), WeakTraining())
+    pinnrep = symbolic_discretize(system, disc)
+    ctx = LoweringContext.from_pinnrep(pinnrep)
+    theta = pinnrep.flat_init_params
+
+    nodes, w, C = _axis_matrices(6, 2, 40, 0.0, 1.0, elements=3, max_order=2)
+    cord = jnp.asarray(nodes[None, :], pinnrep.dtype)
+    layout = [x]
+
+    projections = []
+    for expr, m, sign in [(Dxx(u(x)), 0, 1.0), (Dx(u(x)), 1, -1.0),
+                          (u(x), 2, 1.0)]:
+        rfn = build_residual_function(Eq(expr, 0.0), layout, ctx,
+                                      pinnrep.default_p)
+        r = np.asarray(rfn(cord, theta)).reshape(3, 40)
+        projections.append(sign * np.einsum("eq,qk->ek", r, np.asarray(C[m])))
+    np.testing.assert_allclose(projections[0], projections[1],
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(projections[0], projections[2],
+                               rtol=1e-6, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# term grouping
+# ---------------------------------------------------------------------------
+
+def test_ibp_groups_splits_nonlinear_terms():
+    """u·u_x cannot integrate by parts (non-constant coefficient); ν·u_xx
+    moves one derivative with a sign flip; the forcing stays at m=0."""
+    nu = 0.07
+    expr = Call("-", (expand_derivatives(
+        u(x) * Dx(u(x)) - nu * Dxx(u(x))), expand_derivatives(
+        npde.sin(np.pi * x))))
+    groups = _ibp_groups(expr, {"x"}, ibp=1)
+    assert set(groups) == {(), (("x", 1),)}
+    # the IBP'd group is  −(−ν·u_x)  ≡ +ν·u_x  (sign folded into the expr)
+    sub = groups[(("x", 1),)]
+    found = [""]
+
+    def walk(e):
+        if isinstance(e, Deriv):
+            assert e.order == 1 and e.wrt[0] == Sym("x")
+            found[0] = "ok"
+        for a in getattr(e, "args", ()):
+            walk(a)
+        if isinstance(e, Deriv):
+            walk(e.target)
+
+    walk(sub)
+    assert found[0] == "ok"
+
+
+def test_mixed_partial_moves_one_per_axis():
+    expr = Deriv(u(x, y), (Sym("x"), Sym("y")))
+    groups = _ibp_groups(expr, {"x", "y"}, ibp=1)
+    (key, sub), = groups.items()
+    assert dict(key) == {"x": 1, "y": 1}
+
+    def has_deriv(e):
+        if isinstance(e, Deriv):
+            return True
+        return any(has_deriv(a) for a in getattr(e, "args", ()))
+
+    assert not has_deriv(sub)  # both derivatives moved onto test functions
+
+
+# ---------------------------------------------------------------------------
+# end-to-end accuracy
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("ibp", [0, 1, 2])
+def test_poisson_1d_all_ibp_levels(ibp):
+    system = _poisson_1d()
+    disc = PhysicsInformedNN(mlp([1, 32, 32, 1]),
+                             WeakTraining(elements=6, n_test=8, ibp=ibp))
+    prob = discretize(system, disc)
+    res = solve(prob, optax.adam(2e-3), maxiters=1500, inner_steps=50)
+    xs = jnp.linspace(0, 1, 201)[None, :]
+    pred = np.asarray(disc.phi(xs, res.u["depvar"])[0])
+    want = np.sin(np.pi * np.asarray(xs[0]))
+    rel = np.linalg.norm(pred - want) / np.linalg.norm(want)
+    assert rel < 2e-2, f"ibp={ibp}: rel L2 {rel}"
+
+
+def test_poisson_2d_weak():
+    eq = Eq(Dxx(u(x, y)) + Dyy(u(x, y)),
+            -npde.sin(np.pi * x) * npde.sin(np.pi * y))
+    bcs = [Eq(u(0.0, y), 0.0), Eq(u(1.0, y), 0.0),
+           Eq(u(x, 0.0), 0.0), Eq(u(x, 1.0), 0.0)]
+    system = PDESystem(eq, bcs,
+                       [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))],
+                       [x, y], [u(x, y)])
+    disc = PhysicsInformedNN(mlp([2, 16, 16, 1]),
+                             WeakTraining(elements=4, n_test=6, ibp=1))
+    prob = discretize(system, disc)
+    res = solve(prob, optax.adam(2e-2), maxiters=1200, inner_steps=50)
+    xs = np.linspace(0, 1, 21)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    cord = jnp.asarray(np.stack([X.ravel(), Y.ravel()]))
+    pred = np.asarray(disc.phi(cord, res.u["depvar"])[0]).reshape(21, 21)
+    want = np.sin(np.pi * X) * np.sin(np.pi * Y) / (2 * np.pi**2)
+    rel = np.linalg.norm(pred - want) / np.linalg.norm(want)
+    assert rel < 0.2, rel
+
+
+# ---------------------------------------------------------------------------
+# routing, rejection, composition
+# ---------------------------------------------------------------------------
+
+def test_integral_equation_routes_to_quadrature_loss():
+    """Integro-differential equations cannot be projected; they must fall
+    back to the quadrature-weighted pointwise loss and still train."""
+    Ix = Integral(x, 0.0, 1.0)
+    eq = Eq(u(x) + Ix(u(x)), 1.0 + x)  # u = x + 1/2 solves it... (gate only)
+    bcs = [Eq(u(0.0), 0.5)]
+    system = PDESystem(eq, bcs, [Domain(x, Interval(0, 1))], [x], [u(x)])
+    disc = PhysicsInformedNN(mlp([1, 16, 1]), WeakTraining(elements=3,
+                                                           n_test=4))
+    prob = discretize(system, disc)
+    res = solve(prob, optax.adam(1e-2), maxiters=300, inner_steps=50)
+    assert np.isfinite(res.objective)
+    # routing gate: the quadrature fallback trains (down from O(1) at init)
+    assert res.objective < 5e-2
+
+
+def test_gradient_enhanced_rejected():
+    system = _poisson_1d()
+    disc = PhysicsInformedNN(mlp([1, 16, 1]), WeakTraining(),
+                             gradient_enhanced=0.1)
+    with pytest.raises(ValueError, match="gradient_enhanced"):
+        discretize(system, disc)
+
+
+def test_adaptive_loss_composes():
+    system = _poisson_1d()
+    disc = PhysicsInformedNN(mlp([1, 16, 1]), WeakTraining(elements=3,
+                                                           n_test=4),
+                             adaptive_loss=MiniMaxAdaptiveLoss(
+                                 reweight_every=5))
+    prob = discretize(system, disc)
+    res = solve(prob, optax.adam(1e-3), maxiters=30)
+    assert np.isfinite(res.objective)
+
+
+def test_coupled_system_weak():
+    """Two coupled first-order equations (u' = v, v' = −u) — multi-equation,
+    multi-output weak projection; ibp moves the single derivative."""
+    eqs = [Eq(Dx(u(x)), v(x)), Eq(Dx(v(x)), -u(x))]
+    bcs = [Eq(u(0.0), 0.0), Eq(v(0.0), 1.0)]
+    system = PDESystem(eqs, bcs, [Domain(x, Interval(0, np.pi))], [x],
+                       [u(x), v(x)])
+    disc = PhysicsInformedNN([mlp([1, 24, 1]), mlp([1, 24, 1])],
+                             WeakTraining(elements=5, n_test=6, ibp=1,
+                                          bc_dx=0.1))
+    prob = discretize(system, disc)
+    res = solve(prob, optax.adam(3e-3), maxiters=2000, inner_steps=50)
+    xs = jnp.linspace(0, np.pi, 101)[None, :]
+    pu = np.asarray(disc.phi[0](xs, res.u["depvar"]["u"])[0])
+    rel = (np.linalg.norm(pu - np.sin(np.asarray(xs[0])))
+           / np.linalg.norm(np.sin(np.asarray(xs[0]))))
+    assert rel < 8e-2, rel
