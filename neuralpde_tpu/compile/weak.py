@@ -264,6 +264,12 @@ class WeakTraining(TrainingStrategy):
             return value.get(name, default)
         return value
 
+    @staticmethod
+    def _spans(pinnrep):
+        return {d.variables.name: (float(infimum(d.domain)),
+                                   float(supremum(d.domain)))
+                for d in pinnrep.domains}
+
     def build(self, pinnrep, datafree_pde, datafree_bc):
         if getattr(pinnrep, "gradient_enhanced", None):
             raise ValueError(
@@ -274,9 +280,7 @@ class WeakTraining(TrainingStrategy):
         acc = getattr(pinnrep, "loss_accum_dtype", None)
         remat = getattr(pinnrep, "remat", False)
         ctx = LoweringContext.from_pinnrep(pinnrep)
-        spans = {d.variables.name: (float(infimum(d.domain)),
-                                    float(supremum(d.domain)))
-                 for d in pinnrep.domains}
+        spans = self._spans(pinnrep)
 
         pde_losses = []
         for i, eq in enumerate(pinnrep.eqs):
@@ -286,6 +290,13 @@ class WeakTraining(TrainingStrategy):
                 remat))
 
         # essential BCs stay pointwise penalties on a static grid
+        bc_sets = self._bc_training_sets(pinnrep, spans)
+        bc = [_mean_sq_loss(f, s, acc) for f, s in zip(datafree_bc, bc_sets)]
+        return pde_losses, bc
+
+    def _bc_training_sets(self, pinnrep, spans):
+        """Static boundary training sets at the interior node density
+        (shared by `build` and the Gauss-Newton residual vector)."""
         if self.bc_dx is not None:
             bc_dx = self.bc_dx
         else:
@@ -296,10 +307,8 @@ class WeakTraining(TrainingStrategy):
                 e = self._per_axis(self.elements, nm, 4)
                 q = self._resolve_quad(nm)
                 bc_dx.append((hi - lo) / max(e * q - 1, 1))
-        bc_sets = generate_training_sets(pinnrep.domains, bc_dx,
-                                         pinnrep.bc_args, dtype)
-        bc = [_mean_sq_loss(f, s, acc) for f, s in zip(datafree_bc, bc_sets)]
-        return pde_losses, bc
+        return generate_training_sets(pinnrep.domains, bc_dx,
+                                      pinnrep.bc_args, pinnrep.dtype)
 
     def _resolve_quad(self, name):
         if self.quad is not None:
@@ -310,6 +319,28 @@ class WeakTraining(TrainingStrategy):
 
     def _equation_loss(self, eq, args, ctx, pinnrep, spans, datafree, dtype,
                        acc, remat):
+        rows, wvec = self._equation_rows(eq, args, ctx, pinnrep, spans,
+                                         datafree, dtype, remat)
+        wj = jnp.asarray(wvec, dtype)
+
+        def loss(theta, key=None):
+            del key
+            r = rows(theta)
+            sq = r * r
+            if acc is not None:
+                sq = sq.astype(acc)
+            return jnp.sum(sq * wj.astype(sq.dtype))
+
+        return loss
+
+    def _equation_rows(self, eq, args, ctx, pinnrep, spans, datafree, dtype,
+                       remat):
+        """Flat residual rows + static per-row quadrature weights for one
+        equation, with ``equation_loss(θ) == Σ_i w_i · rows(θ)_i²``.
+
+        Shared by the scalar training loss and by
+        `gauss_newton.build_residual_vector` (WeakTraining is deterministic,
+        so hp-VPINN objectives are valid Gauss-Newton least squares)."""
         syms = [a for a in args if isinstance(a, Sym)]
         layout = [a if isinstance(a, Sym) else None for a in args]
         expr = Call("-", (expand_derivatives(eq.lhs),
@@ -352,17 +383,11 @@ class WeakTraining(TrainingStrategy):
                 W = (W[:, None] * w[None, :]).reshape(-1)
             volume = float(np.prod([spans[s.name][1] - spans[s.name][0]
                                     for s in syms])) if syms else 1.0
-            Wj = jnp.asarray(W / volume, dtype)
 
-            def quad_loss(theta, key=None):
-                del key
-                r = jnp.reshape(datafree(cord, theta), (-1,))
-                sq = r * r
-                if acc is not None:
-                    sq = sq.astype(acc)
-                return jnp.sum(sq * Wj.astype(sq.dtype))
+            def quad_rows(theta):
+                return jnp.reshape(datafree(cord, theta), (-1,))
 
-            return quad_loss
+            return quad_rows, W / volume
 
         groups = _ibp_groups(expr, {s.name for s in syms}, self.ibp)
         grid_shape = tuple(x for s in syms
@@ -391,16 +416,16 @@ class WeakTraining(TrainingStrategy):
         spec = (in_sub + "," + ",".join(qs[a] + ks[a] for a in range(d))
                 + "->" + out_sub)
 
-        def weak_loss(theta, key=None):
-            del key
+        n_rows = int(np.prod([axis_geo[s.name][1]
+                              * axis_geo[s.name][0][2][0].shape[1]
+                              for s in syms]))
+
+        def weak_rows(theta):
             F = None
             for rfn, mats in compiled:
                 r = jnp.reshape(rfn(cord, theta), grid_shape)
                 proj = jnp.einsum(spec, r, *mats)
                 F = proj if F is None else F + proj
-            sq = F * F
-            if acc is not None:
-                sq = sq.astype(acc)
-            return jnp.mean(sq)
+            return jnp.reshape(F, (-1,))
 
-        return weak_loss
+        return weak_rows, np.full(n_rows, 1.0 / n_rows)

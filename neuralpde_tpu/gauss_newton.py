@@ -17,7 +17,8 @@ and the outer loop adapts λ Levenberg-Marquardt style on the host.
 
 Deterministic training sets are required (the objective must be fixed
 across CG iterations): `GridTraining`, static-grid `SeparableTraining`,
-or `QuadratureTraining` (fixed rule).
+`QuadratureTraining` (fixed rule), or `WeakTraining` (hp-VPINN rows —
+the weak projection is already a least-squares residual vector).
 """
 
 from __future__ import annotations
@@ -65,6 +66,7 @@ def build_residual_vector(pinnrep, adaptive_state=None) -> Callable:
     from .adaptive import NonAdaptiveLoss
     from .compile.separable import SeparableTraining, build_separable_residual
     from .compile.lower import LoweringContext
+    from .compile.weak import WeakTraining
     from .nn.separable import SeparableNet
 
     strategy = pinnrep.strategy
@@ -237,10 +239,46 @@ def build_residual_vector(pinnrep, adaptive_state=None) -> Callable:
             + [quad_block(f, a, w) for f, a, w in
                zip(lf.datafree_bc_loss_functions, pinnrep.bc_args, w_bc)])
 
+    elif isinstance(strategy, WeakTraining):
+        # hp-VPINN: the weak projection F_{j,k}(θ) is itself a deterministic
+        # residual vector (loss == Σ w_row·F²), so GN optimizes the exact
+        # weak objective; essential BCs contribute their pointwise rows.
+        ctx = LoweringContext.from_pinnrep(pinnrep)
+        spans = WeakTraining._spans(pinnrep)
+
+        def weak_block(eq, args, f, w):
+            rows, wvec = strategy._equation_rows(
+                eq, args, ctx, pinnrep, spans, f, pinnrep.dtype, remat=False)
+            scale = np.sqrt(np.asarray(wvec, np.float64) * w)
+
+            def r(theta):
+                out = rows(theta)
+                return out * jnp.asarray(scale, out.dtype)
+
+            return r
+
+        def bc_block(f, s, w):
+            s = jnp.asarray(s)
+
+            def r(theta):
+                out = jnp.ravel(f(s, theta))
+                return out * jnp.sqrt(jnp.asarray(w / out.size, out.dtype))
+
+            return r
+
+        bc_sets = strategy._bc_training_sets(pinnrep, spans)
+        blocks = (
+            [weak_block(eq, a, f, w) for eq, a, f, w in
+             zip(pinnrep.eqs, pinnrep.pde_args,
+                 lf.datafree_pde_loss_functions, w_pde)]
+            + [bc_block(f, s, w) for f, s, w in
+               zip(lf.datafree_bc_loss_functions, bc_sets, w_bc)])
+
     else:
         raise TypeError(
-            f"Gauss-Newton needs a deterministic strategy (GridTraining or "
-            f"SeparableTraining(dx=...)); got {type(strategy).__name__}")
+            f"Gauss-Newton needs a deterministic strategy (GridTraining, "
+            f"SeparableTraining(dx=...), QuadratureTraining or WeakTraining); "
+            f"got {type(strategy).__name__}")
 
     def residuals(theta):
         return jnp.concatenate([b(theta) for b in blocks])

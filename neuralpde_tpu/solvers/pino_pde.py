@@ -462,7 +462,11 @@ def _make_solution(b, theta_trained, res) -> PINOPDESolution:
         if missing:
             raise ValueError(f"missing input_values for {sorted(missing)}")
         with b.prec:
-            fields = b.eval_fields(theta_trained, p_cols, gs, vals)
+            # jit, not eager: the axon TPU backend leaves some eagerly
+            # dispatched complex/FFT primitives UNIMPLEMENTED (measured:
+            # eager FNO3D eval crashes post-training), and compiled
+            # evaluation is what serving uses anyway
+            fields = jax.jit(b.eval_fields)(theta_trained, p_cols, gs, vals)
         if b.n_dv == 1:
             return fields[b.depvars[0]]
         return jnp.stack([fields[n] for n in b.depvars])

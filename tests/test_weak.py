@@ -246,3 +246,70 @@ def test_coupled_system_weak():
     rel = (np.linalg.norm(pu - np.sin(np.asarray(xs[0])))
            / np.linalg.norm(np.sin(np.asarray(xs[0]))))
     assert rel < 8e-2, rel
+
+
+# ---------------------------------------------------------------------------
+# Gauss-Newton on weak rows (hp-VPINN least squares)
+# ---------------------------------------------------------------------------
+
+def test_gauss_newton_weak_norm_squared_equals_full_loss():
+    """The weak projection IS a residual vector: build_residual_vector on a
+    WeakTraining problem must satisfy ||r(θ)||² == full_loss(θ) (incl. the
+    pointwise BC rows and custom loss weights)."""
+    import jax
+    from neuralpde_tpu import NonAdaptiveLoss, build_residual_vector
+
+    system = _poisson_1d()
+    disc = PhysicsInformedNN(mlp([1, 16, 16, 1]),
+                             WeakTraining(elements=4, n_test=6, ibp=1),
+                             adaptive_loss=NonAdaptiveLoss(
+                                 pde_loss_weights=2.0,
+                                 bc_loss_weights=[3.0, 5.0]))
+    prob = discretize(system, disc)
+    r = build_residual_vector(prob.pinnrep)(prob.init_params)
+    lstate = {"key": jax.random.key(0),
+              "adaptive": prob.pinnrep.adaloss.init_state(
+                  1, 2, prob.pinnrep.dtype)}
+    full, _ = prob.loss(prob.init_params, lstate)
+    np.testing.assert_allclose(float(jnp.sum(r * r)), float(full), rtol=2e-6)
+
+
+def test_gauss_newton_weak_ide_routing_norm_parity():
+    """An integro-differential equation routes to the quadrature-weighted
+    pointwise rows inside the SAME residual vector (auto-hybrid precedent)."""
+    import jax
+    from neuralpde_tpu import build_residual_vector
+
+    Ix = Integral(x, 0.0, 1.0)
+    eq = Eq(u(x) + Ix(u(x)), 1.0 + x)
+    bcs = [Eq(u(0.0), 0.5)]
+    system = PDESystem(eq, bcs, [Domain(x, Interval(0, 1))], [x], [u(x)])
+    disc = PhysicsInformedNN(mlp([1, 12, 1]),
+                             WeakTraining(elements=3, n_test=4))
+    prob = discretize(system, disc)
+    r = build_residual_vector(prob.pinnrep)(prob.init_params)
+    lstate = {"key": jax.random.key(0),
+              "adaptive": prob.pinnrep.adaloss.init_state(
+                  1, 1, prob.pinnrep.dtype)}
+    full, _ = prob.loss(prob.init_params, lstate)
+    np.testing.assert_allclose(float(jnp.sum(r * r)), float(full), rtol=2e-6)
+
+
+def test_solve_gauss_newton_weak_poisson():
+    """hp-VPINN + Gauss-Newton: the weak objective polishes far below the
+    Adam floor of the same budget class (curvature on variational rows)."""
+    from neuralpde_tpu import solve_gauss_newton
+
+    system = _poisson_1d()
+    disc = PhysicsInformedNN(mlp([1, 16, 16, 1]),
+                             WeakTraining(elements=6, n_test=8, ibp=1))
+    prob = discretize(system, disc)
+    res = solve_gauss_newton(prob, maxiters=60, cg_iters=100)
+    xs = np.linspace(0, 1, 201)
+    pred = np.asarray(disc.phi(jnp.asarray(xs)[None, :],
+                               res.params["depvar"])).ravel()
+    want = np.sin(np.pi * xs)
+    rel = np.linalg.norm(pred - want) / np.linalg.norm(want)
+    assert rel < 1e-3, rel
+    # weak rows are element-RMS-normalized: the f32 GN floor sits ~1e-5
+    assert res.objective < 1e-4
