@@ -22,10 +22,13 @@ Ground truth per held-out IC comes from an in-script Fourier pseudo-
 spectral vorticity solver (integrating-factor RK4, 2/3-rule dealiasing).
 
 Measured (this config, 8000 iters): mean rel L2 0.049 over 4 held-out GRF
-initial vorticities vs the spectral solver, 54 min on one CPU core
-(PERF.md "PINOPDE operator families").
+initial vorticities vs the spectral solver, 54 min on one CPU core; on one
+TPU v5e chip, 264.5 s (12.3×) at rel L2 0.0614 over 8 held-out ICs — WITH
+--precision highest, which is essential on TPU (default bf16 matmul passes
+stall the loss 120× higher; PERF.md "PINOPDE operator families").
 
 Run: python examples/ns_vorticity_pino.py [--iters 8000] [--cpu]
+     python examples/ns_vorticity_pino.py --precision highest   # on TPU
      python examples/ns_vorticity_pino.py --check   # spectral solver only
 """
 import argparse
@@ -167,6 +170,14 @@ def main():
     ap.add_argument("--iters", type=int, default=8000)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--check", action="store_true")
+    # on TPU the default f32 matmuls run bf16 passes (PERF.md round-3
+    # finding); "highest" recovers CPU-class accuracy — measured on this
+    # operator (one v5e, 8000 iters, 8 held-out ICs): default 0.1062
+    # mean rel L2 / final loss 0.22 (floor-limited) vs highest 0.0614 /
+    # loss 0.0018, at only +3% wall (257 -> 265 s; the FNO is
+    # FFT-dominated, so true-f32 passes are nearly free here)
+    ap.add_argument("--precision", default=None,
+                    choices=[None, "default", "high", "highest"])
     args = ap.parse_args()
     if args.check:
         check_reference()
@@ -192,6 +203,7 @@ def main():
                   number_of_parameters=12,
                   input_functions={w0_call: sampler},
                   additional_loss=gauge,
+                  matmul_precision=args.precision,
                   strategy=GridTraining([1 / 32, 1 / 32, TMAX / 8]))
     t0 = time.time()
     sol = solve_pino_pde(system, alg, maxiters=args.iters, inner_steps=50,

@@ -55,6 +55,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..parallel.mesh import shard_batch
 from ..strategies import (
     TrainingStrategy, generate_training_sets, _mean_sq_loss,
 )
@@ -94,19 +95,29 @@ def _test_basis(n_test: int, vanish: int) -> list[np.ndarray]:
 
 
 def _axis_matrices(n_test: int, vanish: int, quad: int, lo: float, hi: float,
-                   elements: int, max_order: int):
+                   elements, max_order: int):
     """Per-axis quadrature nodes and contraction matrices.
 
-    Returns (nodes (E·q,), weights (E·q,), C) where C[m] is the (q, K)
-    matrix contracting reference-element residual values with the m-th
-    physical derivative of the normalized test functions times the physical
-    quadrature weights — the per-axis factor of F_{j,k}."""
+    ``elements`` is an element count (uniform mesh) or an array of E+1
+    element edges spanning [lo, hi] (h-refined mesh).  Returns
+    (nodes (E·q,), weights (E·q,), C) where C[m] is the (E, q, K) tensor
+    contracting reference-element residual values with the m-th physical
+    derivative of the normalized test functions times the physical
+    quadrature weights — the per-axis, per-element factor of F_{j,k}."""
     L = np.polynomial.legendre
     xi, w_ref = L.leggauss(quad)
-    h = (hi - lo) / elements
-    centers = lo + h * (np.arange(elements) + 0.5)
-    nodes = (centers[:, None] + (h / 2.0) * xi[None, :]).reshape(-1)
-    weights = np.tile((h / 2.0) * w_ref, elements)
+    if np.ndim(elements) == 0:
+        edges = np.linspace(lo, hi, int(elements) + 1)
+    else:
+        edges = np.asarray(elements, dtype=np.float64)
+        if not (abs(edges[0] - lo) < 1e-12 and abs(edges[-1] - hi) < 1e-12
+                and np.all(np.diff(edges) > 0)):
+            raise ValueError(
+                f"edges must increase from {lo} to {hi}; got {edges}")
+    h = np.diff(edges)                                   # (E,)
+    centers = (edges[:-1] + edges[1:]) / 2.0
+    nodes = (centers[:, None] + (h[:, None] / 2.0) * xi[None, :]).reshape(-1)
+    weights = ((h[:, None] / 2.0) * w_ref[None, :]).reshape(-1)
 
     basis = _test_basis(n_test, vanish)
     # ‖v_k‖²_{L2[-1,1]} = Σ c_i²·2/(2i+1);  physical norm = √(h/2)·ref norm;
@@ -117,9 +128,12 @@ def _axis_matrices(n_test: int, vanish: int, quad: int, lo: float, hi: float,
     for m in range(max_order + 1):
         V = np.stack([L.legval(xi, L.legder(c, m) if m else c)
                       for c in basis], axis=1)          # (q, K)
-        phys = (2.0 / h) ** m                            # chain rule ξ -> x
-        C.append((w_ref[:, None] * (h / 2.0) * phys * V)
-                 / ((h / np.sqrt(2.0)) * norms[None, :]))
+        # per-element scale: (h/2)·(2/h)^m (quad weight × chain rule) over
+        # the normalization (h/√2)
+        scale = ((h / 2.0) * (2.0 / h) ** m
+                 / (h / np.sqrt(2.0)))                   # (E,)
+        C.append(scale[:, None, None] * (w_ref[:, None] * V)[None, :, :]
+                 / norms[None, None, :])
     return nodes, weights, C
 
 
@@ -232,7 +246,9 @@ def _ibp_groups(expr: Expr, axis_names: set, ibp: int):
 class WeakTraining(TrainingStrategy):
     """hp-VPINN weak-form training strategy (see module docstring).
 
-    * ``elements``: elements per axis (int, or {var name: int})
+    * ``elements``: elements per axis — an int (uniform mesh), an array of
+      E+1 element edges (h-refined mesh, e.g. from `refine_weak`), or a
+      {var name: int | edges} dict
     * ``n_test``: test functions per axis per element (int or dict)
     * ``quad``: Gauss-Legendre points per element per axis
       (default ``max n_test + ibp + 3`` — exact for the polynomial factor,
@@ -305,8 +321,9 @@ class WeakTraining(TrainingStrategy):
                 nm = d.variables.name
                 lo, hi = spans[nm]
                 e = self._per_axis(self.elements, nm, 4)
+                n_el = len(e) - 1 if np.ndim(e) else int(e)
                 q = self._resolve_quad(nm)
-                bc_dx.append((hi - lo) / max(e * q - 1, 1))
+                bc_dx.append((hi - lo) / max(n_el * q - 1, 1))
         return generate_training_sets(pinnrep.domains, bc_dx,
                                       pinnrep.bc_args, pinnrep.dtype)
 
@@ -334,13 +351,16 @@ class WeakTraining(TrainingStrategy):
         return loss
 
     def _equation_rows(self, eq, args, ctx, pinnrep, spans, datafree, dtype,
-                       remat):
+                       remat, with_meta=False):
         """Flat residual rows + static per-row quadrature weights for one
         equation, with ``equation_loss(θ) == Σ_i w_i · rows(θ)_i²``.
 
-        Shared by the scalar training loss and by
+        Shared by the scalar training loss, by
         `gauss_newton.build_residual_vector` (WeakTraining is deterministic,
-        so hp-VPINN objectives are valid Gauss-Newton least squares)."""
+        so hp-VPINN objectives are valid Gauss-Newton least squares), and —
+        with ``with_meta=True``, which appends a third element carrying the
+        projection geometry (or None for quadrature-routed equations) — by
+        `refine_weak`'s per-element scoring."""
         syms = [a for a in args if isinstance(a, Sym)]
         layout = [a if isinstance(a, Sym) else None for a in args]
         expr = Call("-", (expand_derivatives(eq.lhs),
@@ -352,13 +372,18 @@ class WeakTraining(TrainingStrategy):
 
         # per-axis quadrature geometry + contraction matrices
         axis_geo = {}
+        edges_of = {}
         for s in syms:
             lo, hi = spans[s.name]
             e = self._per_axis(self.elements, s.name, 4)
+            edges = (np.linspace(lo, hi, int(e) + 1) if np.ndim(e) == 0
+                     else np.asarray(e, dtype=np.float64))
+            edges_of[s.name] = edges
             nt = self._per_axis(self.n_test, s.name, 8)
             q = self._resolve_quad(s.name)
-            axis_geo[s.name] = (_axis_matrices(nt, self.ibp, q, lo, hi, e,
-                                               max_order=self.ibp), e, q)
+            axis_geo[s.name] = (_axis_matrices(nt, self.ibp, q, lo, hi, edges,
+                                               max_order=self.ibp),
+                                len(edges) - 1, q)
 
         # static tensor-product node grid in the equation's arg layout
         mesh_axes = [axis_geo[s.name][0][0] for s in syms]
@@ -385,8 +410,10 @@ class WeakTraining(TrainingStrategy):
                                     for s in syms])) if syms else 1.0
 
             def quad_rows(theta):
-                return jnp.reshape(datafree(cord, theta), (-1,))
+                return jnp.reshape(datafree(shard_batch(cord), theta), (-1,))
 
+            if with_meta:
+                return quad_rows, W / volume, None
             return quad_rows, W / volume
 
         groups = _ibp_groups(expr, {s.name for s in syms}, self.ibp)
@@ -407,25 +434,114 @@ class WeakTraining(TrainingStrategy):
             compiled.append((rfn, mats))
 
         d = len(syms)
-        # einsum per axis: (E1,q1,..,Ed,qd) × (q_a,K_a) -> (E1,K1,..,Ed,Kd)
+        # einsum per axis: (E1,q1,..,Ed,qd) × (E_a,q_a,K_a) -> (E1,K1,..)
+        # (the contraction matrix carries the element dim: h-refined meshes
+        # have per-element scales)
         letters = "abcdefgh"[:d]
         qs = "mnopqrst"[:d]
         ks = "uvwxyzAB"[:d]
         in_sub = "".join(letters[a] + qs[a] for a in range(d))
         out_sub = "".join(letters[a] + ks[a] for a in range(d))
-        spec = (in_sub + "," + ",".join(qs[a] + ks[a] for a in range(d))
+        spec = (in_sub + ","
+                + ",".join(letters[a] + qs[a] + ks[a] for a in range(d))
                 + "->" + out_sub)
 
         n_rows = int(np.prod([axis_geo[s.name][1]
-                              * axis_geo[s.name][0][2][0].shape[1]
+                              * axis_geo[s.name][0][2][0].shape[2]
                               for s in syms]))
 
         def weak_rows(theta):
+            # in-trace sharding constraint (closed-over constants bake in
+            # replicated; see parallel.mesh.shard_batch): points split over
+            # the data axis, leading element blocks land whole per device,
+            # the per-axis contractions stay device-local, and the loss
+            # mean induces the only collective
+            c = shard_batch(cord)
             F = None
             for rfn, mats in compiled:
-                r = jnp.reshape(rfn(cord, theta), grid_shape)
+                r = jnp.reshape(rfn(c, theta), grid_shape)
                 proj = jnp.einsum(spec, r, *mats)
                 F = proj if F is None else F + proj
             return jnp.reshape(F, (-1,))
 
+        if with_meta:
+            meta = {"syms": [s.name for s in syms],
+                    "shape": tuple(x for s in syms
+                                   for x in (axis_geo[s.name][1],
+                                             axis_geo[s.name][0][2][0]
+                                             .shape[2])),
+                    "edges": edges_of}
+            return weak_rows, np.full(n_rows, 1.0 / n_rows), meta
         return weak_rows, np.full(n_rows, 1.0 / n_rows)
+
+
+def refine_weak(prob, theta, *, frac: float = 0.3, parts: int = 2):
+    """Residual-driven h-refinement — the "h" of hp-VPINN (Kharazmi et al.
+    2021 §2.3 refine toward the residual; here: split, per axis, the
+    elements carrying the largest projected-residual energy).
+
+    Scores each axis-element by the weighted energy Σ w·F² of the trained
+    projection, reduced over every tensor dimension except that axis's
+    element dimension (summed over all weak PDE equations; quadrature-routed
+    equations don't contribute).  The top ``frac`` fraction of elements per
+    axis are split into ``parts`` equal children.
+
+    Returns a NEW `WeakTraining` with per-axis refined edges and every other
+    setting inherited — re-discretize and warm-start to continue training::
+
+        res = solve(prob, opt, maxiters=...)
+        strat2 = refine_weak(prob, res.u)
+        disc2 = PhysicsInformedNN(chain, strat2, ...)
+        prob2 = discretize(system, disc2).with_params(res.u)
+    """
+    import jax as _jax
+
+    pinnrep = getattr(prob, "pinnrep", prob)
+    strategy = pinnrep.strategy
+    if not isinstance(strategy, WeakTraining):
+        raise TypeError("refine_weak needs a WeakTraining problem; got "
+                        f"{type(strategy).__name__}")
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1]; got {frac}")
+    if parts < 2:
+        raise ValueError(f"parts must be >= 2; got {parts}")
+    ctx = LoweringContext.from_pinnrep(pinnrep)
+    spans = WeakTraining._spans(pinnrep)
+    lf = pinnrep.loss_functions
+
+    scores: dict = {}
+    edges_of: dict = {}
+    for eq, args, f in zip(pinnrep.eqs, pinnrep.pde_args,
+                           lf.datafree_pde_loss_functions):
+        rows, wvec, meta = strategy._equation_rows(
+            eq, args, ctx, pinnrep, spans, f, pinnrep.dtype, remat=False,
+            with_meta=True)
+        if meta is None:
+            continue
+        F2 = (np.asarray(_jax.jit(rows)(theta)) ** 2 * wvec).reshape(
+            meta["shape"])                       # (E1, K1, E2, K2, ...)
+        for i, name in enumerate(meta["syms"]):
+            sc = F2.sum(axis=tuple(j for j in range(F2.ndim) if j != 2 * i))
+            scores[name] = scores.get(name, 0.0) + sc
+            edges_of[name] = meta["edges"][name]
+    if not scores:
+        raise ValueError("no weak-projected equations to score (all "
+                         "equations quadrature-routed) — nothing to refine")
+
+    new_elements: dict = {}
+    for name, sc in scores.items():
+        edges = edges_of[name]
+        k = max(1, int(np.ceil(frac * sc.size)))
+        top = set(np.argsort(sc)[-k:].tolist())
+        out = [edges[0]]
+        for e_i in range(sc.size):
+            if e_i in top:
+                out.extend(np.linspace(edges[e_i], edges[e_i + 1],
+                                       parts + 1)[1:])
+            else:
+                out.append(edges[e_i + 1])
+        new_elements[name] = np.asarray(out)
+
+    return WeakTraining(elements=new_elements, n_test=strategy.n_test,
+                        quad=strategy.quad, ibp=strategy.ibp,
+                        bc_dx=strategy.bc_dx)

@@ -299,3 +299,31 @@ def test_pino_pde_causal_mesh_parity(mesh):
     a, b = run(False), run(True)
     np.testing.assert_allclose(float(b.original.objective),
                                float(a.original.objective), rtol=1e-5)
+
+
+def test_weak_training_mesh_parity_and_collectives(mesh):
+    """WeakTraining under the mesh: the in-trace sharding constraint on the
+    quadrature node grid must (a) keep the loss bit-comparable to unsharded
+    execution and (b) actually partition — GSPMD collectives in the HLO."""
+    from neuralpde_tpu import WeakTraining
+
+    # 2-D: per-axis nodes = elements*quad = 4*12 = 48; 48² = 2304 % 8 == 0
+    strat = lambda: WeakTraining(elements=4, n_test=8, ibp=1)
+    prob, _ = _poisson(strat())
+    lstate = {"key": jax.random.key(0),
+              "adaptive": prob.pinnrep.adaloss.init_state(
+                  1, 4, prob.pinnrep.dtype)}
+    cpu0 = jax.devices("cpu")[0]
+    theta_cpu = jax.device_put(prob.init_params, cpu0)
+    loss_single, _ = jax.jit(prob.loss, device=cpu0)(theta_cpu, lstate)
+
+    with use_mesh(mesh):
+        prob2, _ = _poisson(strat())
+        theta_r = replicate_params(theta_cpu, mesh)
+        jl = jax.jit(lambda th: prob2.loss(th, lstate)[0])
+        loss_sharded = jl(theta_r)
+        hlo = jl.lower(theta_r).compile().as_text()
+    np.testing.assert_allclose(float(loss_single), float(loss_sharded),
+                               rtol=5e-6)
+    assert "all-reduce" in hlo, \
+        "weak node grid baked in replicated; sharding lost under jit"

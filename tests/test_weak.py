@@ -57,7 +57,7 @@ def test_constant_residual_rows():
     rows live on the strong-form residual scale), zero elsewhere."""
     nodes, w, C = _axis_matrices(5, 0, 9, 0.0, 2.0, elements=3, max_order=0)
     r = np.full((3, 9), 2.5)  # constant residual on the (E, q) node grid
-    F = np.einsum("eq,qk->ek", r, np.asarray(C[0]))
+    F = np.einsum("eq,eqk->ek", r, np.asarray(C[0]))
     assert np.allclose(F[:, 0], 2.5, atol=1e-12)
     assert np.allclose(F[:, 1:], 0.0, atol=1e-12)
 
@@ -69,7 +69,7 @@ def test_rows_bounded_by_element_rms():
     rng = np.random.default_rng(0)
     nodes, w, C = _axis_matrices(7, 1, 16, -1.0, 3.0, elements=4, max_order=0)
     r = rng.normal(size=(4, 16))
-    F = np.einsum("eq,qk->ek", r, np.asarray(C[0]))
+    F = np.einsum("eq,eqk->ek", r, np.asarray(C[0]))
     h = 1.0
     w_el = w.reshape(4, 16) / (h / 1.0)  # physical weights; h=1 per element
     rms = np.sqrt(np.einsum("eq,eq->e", r * r, w.reshape(4, 16)) / h)
@@ -100,7 +100,7 @@ def test_ibp_identity_on_network():
         rfn = build_residual_function(Eq(expr, 0.0), layout, ctx,
                                       pinnrep.default_p)
         r = np.asarray(rfn(cord, theta)).reshape(3, 40)
-        projections.append(sign * np.einsum("eq,qk->ek", r, np.asarray(C[m])))
+        projections.append(sign * np.einsum("eq,eqk->ek", r, np.asarray(C[m])))
     np.testing.assert_allclose(projections[0], projections[1],
                                rtol=1e-6, atol=1e-9)
     np.testing.assert_allclose(projections[0], projections[2],
@@ -313,3 +313,117 @@ def test_solve_gauss_newton_weak_poisson():
     assert rel < 1e-3, rel
     # weak rows are element-RMS-normalized: the f32 GN floor sits ~1e-5
     assert res.objective < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# h-refinement (refine_weak) — the "h" of hp-VPINN
+# ---------------------------------------------------------------------------
+
+def test_explicit_uniform_edges_match_element_count():
+    """elements=N and an explicit uniform edges array are the SAME mesh:
+    identical loss at identical params."""
+    import jax
+    from neuralpde_tpu import refine_weak  # noqa: F401  (export gate)
+
+    system = _poisson_1d()
+
+    def build(elements):
+        disc = PhysicsInformedNN(mlp([1, 12, 1]),
+                                 WeakTraining(elements=elements, n_test=5))
+        return discretize(system, disc)
+
+    p1 = build(4)
+    p2 = build({"x": np.linspace(0.0, 1.0, 5)})
+    lstate = {"key": jax.random.key(0),
+              "adaptive": p1.pinnrep.adaloss.init_state(
+                  1, 2, p1.pinnrep.dtype)}
+    l1, _ = p1.loss(p1.init_params, lstate)
+    l2, _ = p2.loss(p1.init_params, lstate)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-12)
+
+
+def _tanh_front_system(S=20.0, X0=0.7):
+    th = lambda e: npde.tanh(S * (e - X0))
+    eq = Eq(Dxx(u(x)), -2 * S**2 * th(x) * (1.0 - th(x) ** 2))
+    bcs = [Eq(u(0.0), float(np.tanh(-S * X0))),
+           Eq(u(1.0), float(np.tanh(S * (1 - X0))))]
+    return PDESystem(eq, bcs, [Domain(x, Interval(0, 1))], [x], [u(x)]), S, X0
+
+
+def test_refine_weak_targets_front_and_beats_uniform():
+    """Residual-driven refinement on a tanh front at x0=0.7: the element
+    containing the front must be among the split ones, and a deterministic
+    Gauss-Newton polish (which converges to each MESH's attainable floor)
+    from the same warm start must reach a lower true error on the refined
+    mesh than on the uniform mesh with the SAME final element count."""
+    from neuralpde_tpu import refine_weak, solve_gauss_newton
+
+    # S=60 with only 5 test fns per element: the MESH is the binding
+    # constraint (at gentler fronts both meshes reach the same network
+    # floor and refinement can't show)
+    system, S, X0 = _tanh_front_system(S=60.0)
+
+    def rel_l2(disc, theta):
+        xs = np.linspace(0, 1, 401)
+        pred = np.asarray(disc.phi(jnp.asarray(xs)[None, :],
+                                   theta["depvar"])).ravel()
+        want = np.tanh(S * (xs - X0))
+        return np.linalg.norm(pred - want) / np.linalg.norm(want)
+
+    disc1 = PhysicsInformedNN(mlp([1, 32, 32, 1]),
+                              WeakTraining(elements=6, n_test=5, ibp=1))
+    prob1 = discretize(system, disc1)
+    res1 = solve(prob1, optax.adam(2e-3), maxiters=2000, inner_steps=50)
+
+    strat2 = refine_weak(prob1, res1.u, frac=0.34)   # 6 -> 9 elements
+    edges = strat2.elements["x"]
+    assert len(edges) == 10
+    # the front element [0.6667, 0.8333] was split: a new edge inside it
+    assert any(0.667 < e < 0.833 for e in edges), edges
+
+    def polish(strategy):
+        disc = PhysicsInformedNN(mlp([1, 32, 32, 1]), strategy)
+        prob = discretize(system, disc).with_params(res1.u)
+        res = solve_gauss_newton(prob, maxiters=40, cg_iters=100)
+        return rel_l2(disc, res.params)
+
+    r_ref = polish(strat2)
+    r_uni = polish(WeakTraining(elements=9, n_test=5, ibp=1))
+    # measured 2.1e-3 vs 3.0e-2 (14x); assert half the margin
+    assert r_ref < 0.5 * r_uni, (r_ref, r_uni)
+
+
+def test_refine_weak_rejects_non_weak_and_all_routed():
+    from neuralpde_tpu import GridTraining, refine_weak
+
+    system = _poisson_1d()
+    prob_g = discretize(system, PhysicsInformedNN(mlp([1, 8, 1]),
+                                                  GridTraining(0.1)))
+    with pytest.raises(TypeError, match="WeakTraining"):
+        refine_weak(prob_g, prob_g.init_params)
+
+    Ix = Integral(x, 0.0, 1.0)
+    ide = PDESystem(Eq(u(x) + Ix(u(x)), 1.0 + x), [Eq(u(0.0), 0.5)],
+                    [Domain(x, Interval(0, 1))], [x], [u(x)])
+    prob_i = discretize(ide, PhysicsInformedNN(
+        mlp([1, 8, 1]), WeakTraining(elements=3, n_test=4)))
+    with pytest.raises(ValueError, match="quadrature-routed"):
+        refine_weak(prob_i, prob_i.init_params)
+
+
+def test_gauss_newton_on_refined_edges_norm_parity():
+    """||r||² == loss must hold on an h-refined (non-uniform edges) mesh."""
+    import jax
+    from neuralpde_tpu import build_residual_vector
+
+    system = _poisson_1d()
+    edges = np.array([0.0, 0.1, 0.3, 0.35, 0.6, 1.0])
+    disc = PhysicsInformedNN(mlp([1, 12, 1]),
+                             WeakTraining(elements={"x": edges}, n_test=5))
+    prob = discretize(system, disc)
+    r = build_residual_vector(prob.pinnrep)(prob.init_params)
+    lstate = {"key": jax.random.key(0),
+              "adaptive": prob.pinnrep.adaloss.init_state(
+                  1, 2, prob.pinnrep.dtype)}
+    full, _ = prob.loss(prob.init_params, lstate)
+    np.testing.assert_allclose(float(jnp.sum(r * r)), float(full), rtol=2e-6)
