@@ -427,3 +427,30 @@ def test_gauss_newton_on_refined_edges_norm_parity():
                   1, 2, prob.pinnrep.dtype)}
     full, _ = prob.loss(prob.init_params, lstate)
     np.testing.assert_allclose(float(jnp.sum(r * r)), float(full), rtol=2e-6)
+
+
+def test_refine_weak_2d_targets_front_axis():
+    """2-D: per-axis scoring localizes the x-front (u = tanh(S(x−0.7))·
+    sin(πy)) — the x element containing 0.7 must be split."""
+    from neuralpde_tpu import refine_weak
+
+    S, X0 = 30.0, 0.7
+    th = lambda e: npde.tanh(S * (e - X0))
+    f = ((-2 * S**2) * th(x) * (1.0 - th(x) ** 2) * npde.sin(np.pi * y)
+         - np.pi**2 * th(x) * npde.sin(np.pi * y))
+    eq = Eq(Dxx(u(x, y)) + Dyy(u(x, y)), f)
+    bcs = [Eq(u(0.0, y), float(np.tanh(-S * X0)) * npde.sin(np.pi * y)),
+           Eq(u(1.0, y), float(np.tanh(S * (1 - X0))) * npde.sin(np.pi * y)),
+           Eq(u(x, 0.0), 0.0), Eq(u(x, 1.0), 0.0)]
+    system = PDESystem(eq, bcs, [Domain(x, Interval(0, 1)),
+                                 Domain(y, Interval(0, 1))],
+                       [x, y], [u(x, y)])
+    disc = PhysicsInformedNN(mlp([2, 32, 32, 1]),
+                             WeakTraining(elements=5, n_test=6, ibp=1))
+    prob = discretize(system, disc)
+    res = solve(prob, optax.adam(2e-3), maxiters=1500, inner_steps=50)
+    strat2 = refine_weak(prob, res.u, frac=0.25)
+    ex, ey = strat2.elements["x"], strat2.elements["y"]
+    assert len(ex) == 8 and len(ey) == 8          # 5 -> 7 elements per axis
+    # the x front element [0.6, 0.8] gained an interior edge
+    assert any(0.6 < e_ < 0.8 for e_ in ex), ex
