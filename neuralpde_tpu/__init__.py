@@ -58,7 +58,7 @@ from .nn.fbpinn import FBPINN
 from .nn.kan import KANLayer, kan
 from .nn.separable import SeparableNet, separable_mlp
 from .compile.separable import SeparableTraining, build_separable_residual
-from .compile.weak import WeakTraining, refine_weak
+from .compile.weak import WeakTraining, refine_weak, solve_weak_adaptive
 from .solvers import (
     DAEProblem, DeepGalerkin, DeepRitz, GaussianRandomField, NNDAE, NNODE,
     NNSDE, ODEPhi,

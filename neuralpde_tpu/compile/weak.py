@@ -94,32 +94,55 @@ def _test_basis(n_test: int, vanish: int) -> list[np.ndarray]:
     raise ValueError(f"vanish must be 0, 1 or 2; got {vanish}")
 
 
-def _axis_matrices(n_test: int, vanish: int, quad: int, lo: float, hi: float,
+def _axis_matrices(n_test, vanish: int, quad: int, lo: float, hi: float,
                    elements, max_order: int):
     """Per-axis quadrature nodes and contraction matrices.
 
     ``elements`` is an element count (uniform mesh) or an array of E+1
-    element edges spanning [lo, hi] (h-refined mesh).  Returns
-    (nodes (E·q,), weights (E·q,), C) where C[m] is the (E, q, K) tensor
-    contracting reference-element residual values with the m-th physical
-    derivative of the normalized test functions times the physical
-    quadrature weights — the per-axis, per-element factor of F_{j,k}."""
+    element edges spanning [lo, hi] (h-refined mesh).  ``n_test`` is the
+    per-element test-function count: an int (uniform p) or an array of E
+    ints (p-refined mesh; rows are padded to max K with ZEROED columns, so
+    the tensor stays static-shape — the inactive rows carry no residual
+    energy and zero loss weight).  Returns (nodes (E·q,), weights (E·q,),
+    C, mask) where C[m] is the (E, q, Kmax) tensor contracting
+    reference-element residual values with the m-th physical derivative of
+    the normalized test functions times the physical quadrature weights —
+    the per-axis, per-element factor of F_{j,k} — and mask is the (E, Kmax)
+    0/1 activity of each (element, mode) row."""
     L = np.polynomial.legendre
     xi, w_ref = L.leggauss(quad)
     if np.ndim(elements) == 0:
         edges = np.linspace(lo, hi, int(elements) + 1)
     else:
         edges = np.asarray(elements, dtype=np.float64)
-        if not (abs(edges[0] - lo) < 1e-12 and abs(edges[-1] - hi) < 1e-12
+        # relative tolerance: accumulated edges (lo + cumsum of widths) on
+        # large-magnitude domains can miss the endpoint by >1e-12 while
+        # still being correct to float precision
+        tol = 1e-9 * max(1.0, abs(hi - lo), abs(lo), abs(hi))
+        if not (abs(edges[0] - lo) <= tol and abs(edges[-1] - hi) <= tol
                 and np.all(np.diff(edges) > 0)):
             raise ValueError(
                 f"edges must increase from {lo} to {hi}; got {edges}")
+    n_el = len(edges) - 1
+    if np.ndim(n_test) == 0:
+        k_el = np.full(n_el, int(n_test))
+    else:
+        k_el = np.asarray(n_test, dtype=int)
+        if k_el.shape != (n_el,):
+            raise ValueError(
+                f"per-element n_test must have one entry per element "
+                f"({n_el}); got shape {k_el.shape}")
+        if np.any(k_el < 1):
+            raise ValueError(f"per-element n_test must be >= 1; got {k_el}")
+    k_max = int(k_el.max())
+    mask = (np.arange(k_max)[None, :] < k_el[:, None]).astype(np.float64)
+
     h = np.diff(edges)                                   # (E,)
     centers = (edges[:-1] + edges[1:]) / 2.0
     nodes = (centers[:, None] + (h[:, None] / 2.0) * xi[None, :]).reshape(-1)
     weights = ((h[:, None] / 2.0) * w_ref[None, :]).reshape(-1)
 
-    basis = _test_basis(n_test, vanish)
+    basis = _test_basis(k_max, vanish)
     # ‖v_k‖²_{L2[-1,1]} = Σ c_i²·2/(2i+1);  physical norm = √(h/2)·ref norm;
     # divisor c_{j,k} = ‖v_k‖_{L2(E)}·√h = (h/√2)·‖v_k‖_ref
     norms = np.array([np.sqrt(np.sum(c * c * 2.0 / (2 * np.arange(len(c)) + 1)))
@@ -127,14 +150,15 @@ def _axis_matrices(n_test: int, vanish: int, quad: int, lo: float, hi: float,
     C = []
     for m in range(max_order + 1):
         V = np.stack([L.legval(xi, L.legder(c, m) if m else c)
-                      for c in basis], axis=1)          # (q, K)
+                      for c in basis], axis=1)          # (q, Kmax)
         # per-element scale: (h/2)·(2/h)^m (quad weight × chain rule) over
         # the normalization (h/√2)
         scale = ((h / 2.0) * (2.0 / h) ** m
                  / (h / np.sqrt(2.0)))                   # (E,)
-        C.append(scale[:, None, None] * (w_ref[:, None] * V)[None, :, :]
+        C.append(mask[:, None, :]
+                 * scale[:, None, None] * (w_ref[:, None] * V)[None, :, :]
                  / norms[None, None, :])
-    return nodes, weights, C
+    return nodes, weights, C, mask
 
 
 # ---------------------------------------------------------------------------
@@ -249,7 +273,10 @@ class WeakTraining(TrainingStrategy):
     * ``elements``: elements per axis — an int (uniform mesh), an array of
       E+1 element edges (h-refined mesh, e.g. from `refine_weak`), or a
       {var name: int | edges} dict
-    * ``n_test``: test functions per axis per element (int or dict)
+    * ``n_test``: test functions per axis per element — an int, an array of
+      E per-element counts (p-refined mesh, e.g. from
+      `refine_weak(mode="p"|"hp")`; rows pad to max K with zero weight), or
+      a {var name: int | counts} dict
     * ``quad``: Gauss-Legendre points per element per axis
       (default ``max n_test + ibp + 3`` — exact for the polynomial factor,
       leaving the budget to resolve the network)
@@ -331,7 +358,8 @@ class WeakTraining(TrainingStrategy):
         if self.quad is not None:
             return self._per_axis(self.quad, name)
         nt = self.n_test
-        nt_max = max(nt.values()) if isinstance(nt, dict) else nt
+        vals = list(nt.values()) if isinstance(nt, dict) else [nt]
+        nt_max = max(int(np.max(np.asarray(v))) for v in vals)
         return nt_max + self.ibp + 3
 
     def _equation_loss(self, eq, args, ctx, pinnrep, spans, datafree, dtype,
@@ -446,9 +474,14 @@ class WeakTraining(TrainingStrategy):
                 + ",".join(letters[a] + qs[a] + ks[a] for a in range(d))
                 + "->" + out_sub)
 
-        n_rows = int(np.prod([axis_geo[s.name][1]
-                              * axis_geo[s.name][0][2][0].shape[2]
-                              for s in syms]))
+        # per-row loss weights: 1/n_active on active (element, mode) rows,
+        # 0 on rows padded by per-element p-refinement (their F is already
+        # zeroed through the masked contraction matrices)
+        act = np.array(1.0)
+        for s in syms:
+            act = act[..., None, None] * axis_geo[s.name][0][3]
+        act = act.reshape(-1)                    # (E1·K1·E2·K2·..,) layout
+        wrow = act / act.sum()
 
         def weak_rows(theta):
             # in-trace sharding constraint (closed-over constants bake in
@@ -470,27 +503,60 @@ class WeakTraining(TrainingStrategy):
                                    for x in (axis_geo[s.name][1],
                                              axis_geo[s.name][0][2][0]
                                              .shape[2])),
-                    "edges": edges_of}
-            return weak_rows, np.full(n_rows, 1.0 / n_rows), meta
-        return weak_rows, np.full(n_rows, 1.0 / n_rows)
+                    "edges": edges_of,
+                    "masks": {s.name: axis_geo[s.name][0][3] for s in syms}}
+            return weak_rows, wrow, meta
+        return weak_rows, wrow
 
 
-def refine_weak(prob, theta, *, frac: float = 0.3, parts: int = 2):
-    """Residual-driven h-refinement — the "h" of hp-VPINN (Kharazmi et al.
-    2021 §2.3 refine toward the residual; here: split, per axis, the
-    elements carrying the largest projected-residual energy).
+def _hp_action(mode_energy, k_e: int, p_inc: int, p_max: int,
+               smooth_tol: float) -> str:
+    """The hp decision for one flagged element: "p" when the element's
+    projected-residual spectrum decays (smooth solution, resolved-but-
+    nonzero residual — raise the polynomial order), "h" when the tail
+    carries energy (unresolved local structure — split the element).
+
+    The indicator is the energy fraction in the top HALF of the active
+    modes (a single tail mode is too noisy at small K: a point-like spike
+    projects as ~v_k(ξ0), which can vanish at any one k by coincidence).
+    Elements already at the p cap always h-split."""
+    if k_e + p_inc > p_max:
+        return "h"
+    m_tail = max(1, k_e // 2)
+    en = np.asarray(mode_energy)[:k_e]
+    tail = en[k_e - m_tail:].sum() / (en.sum() + 1e-300)
+    return "h" if tail > smooth_tol else "p"
+
+
+def refine_weak(prob, theta, *, frac: float = 0.3, parts: int = 2,
+                mode: str = "h", p_inc: int = 4, p_max: int = 24,
+                smooth_tol: float = 0.1):
+    """Residual-driven hp-refinement of a `WeakTraining` mesh (Kharazmi et
+    al. 2021 §2.3 refine toward the residual).
 
     Scores each axis-element by the weighted energy Σ w·F² of the trained
     projection, reduced over every tensor dimension except that axis's
-    element dimension (summed over all weak PDE equations; quadrature-routed
-    equations don't contribute).  The top ``frac`` fraction of elements per
-    axis are split into ``parts`` equal children.
+    element/mode dimensions (summed over all weak PDE equations;
+    quadrature-routed equations don't contribute).  The top ``frac``
+    fraction of elements per axis are refined; ``mode`` picks how:
 
-    Returns a NEW `WeakTraining` with per-axis refined edges and every other
-    setting inherited — re-discretize and warm-start to continue training::
+    * ``"h"`` — split each flagged element into ``parts`` equal children
+      (children inherit the parent's test-function count);
+    * ``"p"`` — raise the flagged element's test-function count by
+      ``p_inc`` (up to ``p_max``; elements already at the cap h-split);
+    * ``"hp"`` — decide per element from the projection's spectral decay:
+      the residual energy fraction in the top quarter of the element's
+      active modes above ``smooth_tol`` marks a non-smooth element
+      (slowly decaying projection tail) → h-split; a small tail means the
+      residual is resolved-but-nonzero on a smooth solution → p-refine.
+
+    Returns a NEW `WeakTraining` with per-axis refined edges / per-element
+    test counts and every other setting inherited — re-discretize and
+    warm-start to continue training (or call `solve_weak_adaptive`, which
+    runs this loop for you)::
 
         res = solve(prob, opt, maxiters=...)
-        strat2 = refine_weak(prob, res.u)
+        strat2 = refine_weak(prob, res.u, mode="hp")
         disc2 = PhysicsInformedNN(chain, strat2, ...)
         prob2 = discretize(system, disc2).with_params(res.u)
     """
@@ -505,12 +571,17 @@ def refine_weak(prob, theta, *, frac: float = 0.3, parts: int = 2):
         raise ValueError(f"frac must be in (0, 1]; got {frac}")
     if parts < 2:
         raise ValueError(f"parts must be >= 2; got {parts}")
+    if mode not in ("h", "p", "hp"):
+        raise ValueError(f"mode must be 'h', 'p' or 'hp'; got {mode!r}")
+    if p_inc < 1:
+        raise ValueError(f"p_inc must be >= 1; got {p_inc}")
     ctx = LoweringContext.from_pinnrep(pinnrep)
     spans = WeakTraining._spans(pinnrep)
     lf = pinnrep.loss_functions
 
-    scores: dict = {}
+    scores: dict = {}          # axis -> (E, Kmax) per-(element, mode) energy
     edges_of: dict = {}
+    masks_of: dict = {}
     for eq, args, f in zip(pinnrep.eqs, pinnrep.pde_args,
                            lf.datafree_pde_loss_functions):
         rows, wvec, meta = strategy._equation_rows(
@@ -521,27 +592,183 @@ def refine_weak(prob, theta, *, frac: float = 0.3, parts: int = 2):
         F2 = (np.asarray(_jax.jit(rows)(theta)) ** 2 * wvec).reshape(
             meta["shape"])                       # (E1, K1, E2, K2, ...)
         for i, name in enumerate(meta["syms"]):
-            sc = F2.sum(axis=tuple(j for j in range(F2.ndim) if j != 2 * i))
-            scores[name] = scores.get(name, 0.0) + sc
+            keep = (2 * i, 2 * i + 1)
+            sc = F2.sum(axis=tuple(j for j in range(F2.ndim)
+                                   if j not in keep))
+            prev = scores.get(name)
+            scores[name] = sc if prev is None else prev + sc
             edges_of[name] = meta["edges"][name]
+            masks_of[name] = meta["masks"][name]
     if not scores:
         raise ValueError("no weak-projected equations to score (all "
                          "equations quadrature-routed) — nothing to refine")
 
-    new_elements: dict = {}
+    # seed every domain axis with its ORIGINAL settings (count/edges and
+    # test counts) so axes that only appear in quadrature-routed equations /
+    # BC domains keep their configuration instead of falling back to the
+    # defaults
+    new_elements: dict = {
+        d.variables.name: strategy._per_axis(strategy.elements,
+                                             d.variables.name, 4)
+        for d in pinnrep.domains}
+    new_ntest: dict = {
+        d.variables.name: strategy._per_axis(strategy.n_test,
+                                             d.variables.name, 8)
+        for d in pinnrep.domains}
     for name, sc in scores.items():
         edges = edges_of[name]
-        k = max(1, int(np.ceil(frac * sc.size)))
-        top = set(np.argsort(sc)[-k:].tolist())
-        out = [edges[0]]
-        for e_i in range(sc.size):
+        n_el = sc.shape[0]
+        k_act = masks_of[name].sum(axis=1).astype(int)       # (E,)
+        totals = sc.sum(axis=1)                              # (E,)
+        k = max(1, int(np.ceil(frac * n_el)))
+        top = set(np.argsort(totals)[-k:].tolist())
+        out_edges = [edges[0]]
+        out_k = []
+        for e_i in range(n_el):
+            k_e = int(k_act[e_i])
+            action = None
             if e_i in top:
-                out.extend(np.linspace(edges[e_i], edges[e_i + 1],
-                                       parts + 1)[1:])
+                if mode == "h":
+                    action = "h"
+                elif mode == "p":
+                    action = "p" if k_e + p_inc <= p_max else "h"
+                else:                                        # "hp"
+                    action = _hp_action(sc[e_i], k_e, p_inc, p_max,
+                                        smooth_tol)
+            if action == "h":
+                out_edges.extend(np.linspace(edges[e_i], edges[e_i + 1],
+                                             parts + 1)[1:])
+                out_k.extend([k_e] * parts)
+            elif action == "p":
+                out_edges.append(edges[e_i + 1])
+                out_k.append(k_e + p_inc)
             else:
-                out.append(edges[e_i + 1])
-        new_elements[name] = np.asarray(out)
+                out_edges.append(edges[e_i + 1])
+                out_k.append(k_e)
+        new_elements[name] = np.asarray(out_edges)
+        out_k = np.asarray(out_k)
+        # collapse to a scalar when uniform (keeps repr/bc defaults tidy)
+        new_ntest[name] = (int(out_k[0]) if np.all(out_k == out_k[0])
+                           else out_k)
 
-    return WeakTraining(elements=new_elements, n_test=strategy.n_test,
+    return WeakTraining(elements=new_elements, n_test=new_ntest,
                         quad=strategy.quad, ibp=strategy.ibp,
                         bc_dx=strategy.bc_dx)
+
+
+class WeakAdaptiveResult:
+    """`solve_weak_adaptive` output: the final trained state plus the
+    per-round refinement trail.  Quacks like a `SolveResult` (u, objective,
+    iterations, history) and carries the FINAL TrainingProblem (`prob`) so
+    the trained network can be evaluated (`prob.pinnrep.phi`)."""
+
+    def __init__(self, result, prob, strategies, round_objectives, history,
+                 iterations):
+        self.result = result
+        self.prob = prob
+        self.strategies = strategies          # one WeakTraining per round
+        self.round_objectives = round_objectives
+        self.history = history
+        self.iterations = iterations          # total across rounds
+
+    @property
+    def u(self):
+        return self.result.u
+
+    @property
+    def params(self):
+        return self.result.u
+
+    @property
+    def objective(self):
+        return self.result.objective
+
+    @property
+    def strategy(self):
+        return self.strategies[-1]
+
+
+def solve_weak_adaptive(pde_system, discretization, optimizer=None, *,
+                        rounds: int = 3, maxiters=2000, frac: float = 0.3,
+                        parts: int = 2, mode: str = "hp", p_inc: int = 4,
+                        p_max: int = 24, smooth_tol: float = 0.1,
+                        abstol: float | None = None, key=None,
+                        verbose: bool = False, **solve_kw):
+    """One-call adaptive hp-VPINN solve: train → `refine_weak` →
+    warm-start, for up to ``rounds`` training rounds (so ``rounds - 1``
+    refinements).  This automates the manual loop in the `refine_weak`
+    docstring; the network parameters carry over between rounds (only the
+    projection mesh changes), so later rounds polish rather than restart.
+
+    * ``discretization``: a `PhysicsInformedNN` whose strategy is the
+      INITIAL `WeakTraining` (coarse mesh); each round re-discretizes with
+      the refined strategy and every other setting inherited.  Note the
+      adaptive-loss state (if any) restarts each round.
+    * ``maxiters``: per-round iteration budget — an int (same every round)
+      or a list of per-round budgets (len == rounds).
+    * ``frac``/``parts``/``mode``/``p_inc``/``p_max``/``smooth_tol``:
+      forwarded to `refine_weak`.
+    * ``abstol``: stop (inside a round AND across rounds) once the
+      objective crosses it.
+    * extra kwargs forward to `train.solve` (inner_steps, callback,
+      checkpoint_dir, ...).
+
+    Returns a `WeakAdaptiveResult`.
+    """
+    from ..train import solve as train_solve
+    from .discretize import PhysicsInformedNN, discretize
+
+    if not isinstance(discretization.strategy, WeakTraining):
+        raise TypeError("solve_weak_adaptive needs a WeakTraining "
+                        "discretization; got "
+                        f"{type(discretization.strategy).__name__}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1; got {rounds}")
+    budgets = (list(maxiters) if isinstance(maxiters, (list, tuple))
+               else [maxiters] * rounds)
+    if len(budgets) != rounds:
+        raise ValueError(f"maxiters list has {len(budgets)} entries for "
+                         f"{rounds} rounds")
+
+    def clone(disc, strategy, init_params):
+        return PhysicsInformedNN(
+            disc.chain, strategy, init_params=init_params,
+            derivative=disc.derivative, param_estim=disc.param_estim,
+            additional_loss=disc.additional_loss,
+            adaptive_loss=disc.adaptive_loss, logger=disc.logger,
+            log_options=disc.log_options, seed=disc.seed,
+            integral_order=disc.integral_order,
+            integral_panels=disc.integral_panels, dtype=disc.dtype,
+            remat=disc.remat, loss_accum_dtype=disc.loss_accum_dtype,
+            gradient_enhanced=disc.gradient_enhanced,
+            matmul_precision=disc.matmul_precision)
+
+    disc = discretization
+    prob = discretize(pde_system, disc)
+    strategies = [disc.strategy]
+    round_objectives = []
+    history = []
+    total_iters = 0
+    res = None
+    for r in range(rounds):
+        res = train_solve(prob, optimizer, maxiters=budgets[r],
+                          abstol=abstol, key=key, verbose=verbose,
+                          **solve_kw)
+        round_objectives.append(res.objective)
+        history.extend(res.history)
+        total_iters += res.iterations
+        if verbose:
+            print(f"[weak-adaptive] round {r + 1}/{rounds}  objective "
+                  f"{res.objective:.6g}")
+        if r == rounds - 1 or (abstol is not None
+                               and res.objective < abstol):
+            break
+        strat2 = refine_weak(prob, res.u, frac=frac, parts=parts, mode=mode,
+                             p_inc=p_inc, p_max=p_max,
+                             smooth_tol=smooth_tol)
+        disc = clone(disc, strat2, res.u["depvar"])
+        prob = discretize(pde_system, disc).with_params(res.u)
+        strategies.append(strat2)
+
+    return WeakAdaptiveResult(res, prob, strategies, round_objectives,
+                              history, total_iters)

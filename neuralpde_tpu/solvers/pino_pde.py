@@ -455,6 +455,13 @@ def _build(pde_system: PDESystem, alg: PINOPDE):
 
 
 def _make_solution(b, theta_trained, res) -> PINOPDESolution:
+    # jit, not eager: the axon TPU backend leaves some eagerly dispatched
+    # complex/FFT primitives UNIMPLEMENTED (measured: eager FNO3D eval
+    # crashes post-training), and compiled evaluation is what serving uses
+    # anyway.  Hoisted out of interp so repeated evaluations reuse one
+    # wrapper (and its trace cache) instead of re-wrapping per call.
+    jit_eval = jax.jit(b.eval_fields)
+
     def interp(p_cols, gs, input_values):
         vals = {n: jnp.asarray(v, b.dtype)
                 for n, v in (input_values or {}).items()}
@@ -462,11 +469,7 @@ def _make_solution(b, theta_trained, res) -> PINOPDESolution:
         if missing:
             raise ValueError(f"missing input_values for {sorted(missing)}")
         with b.prec:
-            # jit, not eager: the axon TPU backend leaves some eagerly
-            # dispatched complex/FFT primitives UNIMPLEMENTED (measured:
-            # eager FNO3D eval crashes post-training), and compiled
-            # evaluation is what serving uses anyway
-            fields = jax.jit(b.eval_fields)(theta_trained, p_cols, gs, vals)
+            fields = jit_eval(theta_trained, p_cols, gs, vals)
         if b.n_dv == 1:
             return fields[b.depvars[0]]
         return jnp.stack([fields[n] for n in b.depvars])

@@ -55,7 +55,7 @@ def test_constant_residual_rows():
     """ibp=0 basis includes P_0: a constant residual projects exactly onto
     the k=0 rows with value == the constant (the normalization contract:
     rows live on the strong-form residual scale), zero elsewhere."""
-    nodes, w, C = _axis_matrices(5, 0, 9, 0.0, 2.0, elements=3, max_order=0)
+    nodes, w, C, _ = _axis_matrices(5, 0, 9, 0.0, 2.0, elements=3, max_order=0)
     r = np.full((3, 9), 2.5)  # constant residual on the (E, q) node grid
     F = np.einsum("eq,eqk->ek", r, np.asarray(C[0]))
     assert np.allclose(F[:, 0], 2.5, atol=1e-12)
@@ -67,7 +67,7 @@ def test_rows_bounded_by_element_rms():
     residual — the loss can never exceed the strong-form mean square built
     from the same nodes/weights."""
     rng = np.random.default_rng(0)
-    nodes, w, C = _axis_matrices(7, 1, 16, -1.0, 3.0, elements=4, max_order=0)
+    nodes, w, C, _ = _axis_matrices(7, 1, 16, -1.0, 3.0, elements=4, max_order=0)
     r = rng.normal(size=(4, 16))
     F = np.einsum("eq,eqk->ek", r, np.asarray(C[0]))
     h = 1.0
@@ -90,7 +90,7 @@ def test_ibp_identity_on_network():
     ctx = LoweringContext.from_pinnrep(pinnrep)
     theta = pinnrep.flat_init_params
 
-    nodes, w, C = _axis_matrices(6, 2, 40, 0.0, 1.0, elements=3, max_order=2)
+    nodes, w, C, _ = _axis_matrices(6, 2, 40, 0.0, 1.0, elements=3, max_order=2)
     cord = jnp.asarray(nodes[None, :], pinnrep.dtype)
     layout = [x]
 
@@ -454,3 +454,186 @@ def test_refine_weak_2d_targets_front_axis():
     assert len(ex) == 8 and len(ey) == 8          # 5 -> 7 elements per axis
     # the x front element [0.6, 0.8] gained an interior edge
     assert any(0.6 < e_ < 0.8 for e_ in ex), ex
+
+
+# ---------------------------------------------------------------------------
+# p-refinement (per-element test counts) + the adaptive driver (r5)
+# ---------------------------------------------------------------------------
+
+def test_per_element_ntest_uniform_array_matches_scalar():
+    """n_test given as a per-element array of identical counts is the SAME
+    projection as the scalar: identical loss at identical params."""
+    import jax
+
+    system = _poisson_1d()
+
+    def build(n_test):
+        disc = PhysicsInformedNN(mlp([1, 12, 1]),
+                                 WeakTraining(elements=4, n_test=n_test))
+        return discretize(system, disc)
+
+    p1 = build(5)
+    p2 = build({"x": np.array([5, 5, 5, 5])})
+    lstate = {"key": jax.random.key(0),
+              "adaptive": p1.pinnrep.adaloss.init_state(
+                  1, 2, p1.pinnrep.dtype)}
+    l1, _ = p1.loss(p1.init_params, lstate)
+    l2, _ = p2.loss(p1.init_params, lstate)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-12)
+
+
+def test_per_element_ntest_pads_with_zero_rows():
+    """Mixed per-element counts: modes beyond an element's count contribute
+    exactly zero (zeroed contraction columns AND zero row weight), and the
+    active row weights still sum to 1."""
+    nodes, w, C, mask = _axis_matrices(np.array([3, 6, 3]), 1, 10, 0.0, 1.0,
+                                       elements=3, max_order=1)
+    assert C[0].shape == (3, 10, 6) and mask.shape == (3, 6)
+    np.testing.assert_array_equal(mask[0], [1, 1, 1, 0, 0, 0])
+    np.testing.assert_array_equal(mask[1], [1, 1, 1, 1, 1, 1])
+    # padded columns are exactly zero in every derivative matrix
+    for m in range(2):
+        assert np.all(C[m][0][:, 3:] == 0.0)
+        assert np.all(C[m][2][:, 3:] == 0.0)
+    # and the first 3 columns match a K=3 build exactly
+    _, _, C3, _ = _axis_matrices(3, 1, 10, 0.0, 1.0, elements=3, max_order=1)
+    np.testing.assert_allclose(C[0][:, :, :3], C3[0], rtol=1e-12)
+
+
+def test_refine_weak_p_mode_raises_counts_keeps_edges():
+    """mode='p' on a smooth problem: flagged elements gain test functions,
+    the mesh edges stay put."""
+    from neuralpde_tpu import refine_weak
+
+    system = _poisson_1d()
+    disc = PhysicsInformedNN(mlp([1, 16, 1]),
+                             WeakTraining(elements=4, n_test=5, ibp=1))
+    prob = discretize(system, disc)
+    res = solve(prob, optax.adam(2e-3), maxiters=500, inner_steps=50)
+    strat2 = refine_weak(prob, res.u, frac=0.5, mode="p", p_inc=3)
+    np.testing.assert_allclose(strat2.elements["x"],
+                               np.linspace(0, 1, 5), atol=1e-12)
+    k2 = np.asarray(strat2.n_test["x"])
+    assert k2.shape == (4,)
+    assert np.sum(k2 == 8) == 2 and np.sum(k2 == 5) == 2, k2
+    # and the refined strategy trains (quad auto-tracks the new max K)
+    disc2 = PhysicsInformedNN(mlp([1, 16, 1]), strat2)
+    prob2 = discretize(system, disc2).with_params(res.u)
+    res2 = solve(prob2, optax.adam(2e-3), maxiters=100, inner_steps=50)
+    assert np.isfinite(res2.objective)
+
+
+def test_hp_action_decision_rule():
+    """The hp smoothness indicator on synthetic spectra: geometric decay
+    -> 'p' (smooth), flat/tail-heavy spectrum -> 'h' (unresolved), and the
+    p cap forces 'h'."""
+    from neuralpde_tpu.compile.weak import _hp_action
+
+    decaying = 10.0 ** -np.arange(8)           # resolved smooth residual
+    assert _hp_action(decaying, 8, 4, 24, 0.1) == "p"
+    flat = np.ones(8)                           # point-spike-like spectrum
+    assert _hp_action(flat, 8, 4, 24, 0.1) == "h"
+    tail_heavy = np.array([0.1, 0.1, 0.1, 0.1, 1.0, 2.0, 3.0, 4.0])
+    assert _hp_action(tail_heavy, 8, 4, 24, 0.1) == "h"
+    # at the cap, even a smooth element h-splits
+    assert _hp_action(decaying, 22, 4, 24, 0.1) == "h"
+    # only the ACTIVE modes count (padded entries ignored)
+    padded = np.array([1.0, 1e-4, 1e-8, 1e-12, 777.0, 777.0])
+    assert _hp_action(padded, 4, 4, 24, 0.1) == "p"
+
+
+def test_refine_weak_hp_refines_top_energy_elements():
+    """mode='hp' plumbing on the tanh front: exactly ceil(frac·E) elements
+    are refined (h-split or p-raised), h children inherit the parent's test
+    count, and the refined strategy trains from the warm start.  (Which
+    flagged element gets h vs p depends on the trained residual's spectrum
+    — the decision rule itself is unit-tested above.)"""
+    from neuralpde_tpu import refine_weak
+
+    system, S, X0 = _tanh_front_system(S=60.0)
+    disc = PhysicsInformedNN(mlp([1, 32, 32, 1]),
+                             WeakTraining(elements=6, n_test=5, ibp=1))
+    prob = discretize(system, disc)
+    res = solve(prob, optax.adam(2e-3), maxiters=2000, inner_steps=50)
+    strat2 = refine_weak(prob, res.u, frac=0.34, mode="hp", p_inc=4)
+    edges = np.asarray(strat2.elements["x"])
+    k2 = np.asarray(strat2.n_test["x"])
+    n_split = (len(edges) - 1) - 6            # parts=2: one extra per split
+    n_raised = int(np.sum(k2 == 9)) if np.ndim(k2) else 0
+    # ceil(0.34·6) = 3 elements refined, one way or the other
+    assert n_split + n_raised == 3, (edges, k2)
+    assert set(np.unique(k2)) <= {5, 9}          # inherit or +p_inc only
+    disc2 = PhysicsInformedNN(mlp([1, 32, 32, 1]), strat2)
+    prob2 = discretize(system, disc2).with_params(res.u)
+    res2 = solve(prob2, optax.adam(2e-3), maxiters=100, inner_steps=50)
+    assert np.isfinite(res2.objective)
+
+
+def test_refine_weak_seeds_unscored_axes_from_strategy():
+    """An axis appearing only in a quadrature-routed equation keeps its
+    ORIGINAL element count/test count after refine_weak (advisor r4: it
+    used to silently fall back to the defaults)."""
+    from neuralpde_tpu import Integral, refine_weak
+
+    Iy = Integral(y, 0.0, 1.0)
+    system = PDESystem(
+        [Eq(Dxx(u(x)), -np.pi**2 * npde.sin(np.pi * x)),
+         Eq(v(y) + Iy(v(y)), 1.0 + y)],
+        [Eq(u(0.0), 0.0), Eq(u(1.0), 0.0), Eq(v(0.0), 0.5)],
+        [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))],
+        [x, y], [u(x), v(y)])
+    disc = PhysicsInformedNN(
+        [mlp([1, 10, 1]), mlp([1, 10, 1])],
+        WeakTraining(elements={"x": 4, "y": 7}, n_test={"x": 5, "y": 9}))
+    prob = discretize(system, disc)
+    strat2 = refine_weak(prob, prob.init_params, frac=0.25)
+    assert strat2.elements["y"] == 7          # untouched, NOT the default 4
+    assert strat2.n_test["y"] == 9
+    assert len(np.asarray(strat2.elements["x"])) == 6   # 4 -> 5 elements
+
+
+def test_solve_weak_adaptive_front_beats_equal_budget_uniform():
+    """The one-call driver: 3 rounds of train->refine->warm-start on the
+    tanh front must beat the SAME total Adam budget on the fixed initial
+    mesh (the mesh is the binding constraint at S=60)."""
+    from neuralpde_tpu import solve_weak_adaptive
+
+    system, S, X0 = _tanh_front_system(S=60.0)
+
+    def rel_l2(prob, theta):
+        xs = np.linspace(0, 1, 401)
+        phi = prob.pinnrep.phi
+        pred = np.asarray(phi(jnp.asarray(xs)[None, :],
+                              theta["depvar"])).ravel()
+        want = np.tanh(S * (xs - X0))
+        return np.linalg.norm(pred - want) / np.linalg.norm(want)
+
+    disc = PhysicsInformedNN(mlp([1, 32, 32, 1]),
+                             WeakTraining(elements=6, n_test=5, ibp=1))
+    ares = solve_weak_adaptive(system, disc, optax.adam(2e-3), rounds=3,
+                               maxiters=2000, frac=0.34, mode="hp",
+                               inner_steps=50)
+    assert len(ares.strategies) == 3
+    assert len(np.asarray(ares.strategy.elements["x"])) > 7  # mesh grew
+    assert ares.iterations == 6000
+    r_adapt = rel_l2(ares.prob, ares.u)
+
+    prob_u = discretize(system, PhysicsInformedNN(
+        mlp([1, 32, 32, 1]), WeakTraining(elements=6, n_test=5, ibp=1)))
+    res_u = solve(prob_u, optax.adam(2e-3), maxiters=6000, inner_steps=50)
+    r_fixed = rel_l2(prob_u, res_u.u)
+    assert r_adapt < 0.67 * r_fixed, (r_adapt, r_fixed)
+
+
+def test_solve_weak_adaptive_validates_args():
+    from neuralpde_tpu import GridTraining, solve_weak_adaptive
+
+    system = _poisson_1d()
+    disc_g = PhysicsInformedNN(mlp([1, 8, 1]), GridTraining(0.1))
+    with pytest.raises(TypeError, match="WeakTraining"):
+        solve_weak_adaptive(system, disc_g)
+    disc_w = PhysicsInformedNN(mlp([1, 8, 1]), WeakTraining(elements=3))
+    with pytest.raises(ValueError, match="rounds"):
+        solve_weak_adaptive(system, disc_w, rounds=0)
+    with pytest.raises(ValueError, match="entries"):
+        solve_weak_adaptive(system, disc_w, rounds=2, maxiters=[100])
