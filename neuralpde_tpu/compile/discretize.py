@@ -197,6 +197,7 @@ class PINNRepresentation:
     symbolic_pde_loss_functions: list = field(default_factory=list)
     symbolic_bc_loss_functions: list = field(default_factory=list)
     loss_functions: PINNLossFunctions | None = None
+    matmul_precision: str | None = None
 
 
 @dataclass
@@ -363,26 +364,50 @@ def symbolic_discretize(pde_system: PDESystem,
         datafree_pde = [jax.checkpoint(f) for f in datafree_pde]
         datafree_bc = [jax.checkpoint(f) for f in datafree_bc]
 
-    pde_loss_functions, bc_loss_functions = discretization.strategy.build(
-        pinnrep, datafree_pde, datafree_bc)
-
     mp = discretization.matmul_precision
+    pinnrep.matmul_precision = mp
     if mp is not None:
-        def _with_prec(fn):
-            def wrapped(*a, **k):
-                with jax.default_matmul_precision(mp):
-                    return fn(*a, **k)
+        datafree_pde = [_wrap_precision(f, mp) for f in datafree_pde]
+        datafree_bc = [_wrap_precision(f, mp) for f in datafree_bc]
 
-            return wrapped
+    pinnrep.loss_functions = _assemble_loss_functions(pinnrep, datafree_pde,
+                                                      datafree_bc)
+    return pinnrep
 
-        pde_loss_functions = [_with_prec(f) for f in pde_loss_functions]
-        bc_loss_functions = [_with_prec(f) for f in bc_loss_functions]
-        datafree_pde = [_with_prec(f) for f in datafree_pde]
-        datafree_bc = [_with_prec(f) for f in datafree_bc]
 
-    additional_loss = discretization.additional_loss
-    phi_for_user = discretization.phi
-    param_estim = discretization.param_estim
+def _wrap_precision(fn, mp):
+    if mp is None:
+        return fn
+
+    def wrapped(*a, **k):
+        with jax.default_matmul_precision(mp):
+            return fn(*a, **k)
+
+    return wrapped
+
+
+def _assemble_loss_functions(pinnrep, datafree_pde,
+                             datafree_bc) -> PINNLossFunctions:
+    """Strategy build + weighted-sum total loss, from datafree residual
+    functions.  Factored out of `symbolic_discretize` so the quadrature-
+    adaptivity loop (`solve(quad_adapt=True)`) can REBUILD the strategy's
+    rules against trained parameters (the reference trains against
+    h-adaptive cubature that tracks the evolving solution,
+    src/training_strategies.jl:406-436; we refine at bounded re-solve
+    boundaries instead — see `rebuild_strategy_losses`)."""
+    mp = pinnrep.matmul_precision
+    dtype = pinnrep.dtype
+
+    pde_loss_functions, bc_loss_functions = pinnrep.strategy.build(
+        pinnrep, datafree_pde, datafree_bc)
+    if mp is not None:
+        pde_loss_functions = [_wrap_precision(f, mp)
+                              for f in pde_loss_functions]
+        bc_loss_functions = [_wrap_precision(f, mp) for f in bc_loss_functions]
+
+    additional_loss = pinnrep.additional_loss
+    phi_for_user = pinnrep.phi
+    param_estim = pinnrep.param_estim
     n_pde, n_bc = len(pde_loss_functions), len(bc_loss_functions)
 
     def full_loss_function(theta, lstate):
@@ -420,9 +445,9 @@ def symbolic_discretize(pde_system: PDESystem,
         return total, aux
 
     if mp is not None:
-        full_loss_function = _with_prec(full_loss_function)
+        full_loss_function = _wrap_precision(full_loss_function, mp)
 
-    pinnrep.loss_functions = PINNLossFunctions(
+    return PINNLossFunctions(
         bc_loss_functions=bc_loss_functions,
         pde_loss_functions=pde_loss_functions,
         full_loss_function=full_loss_function,
@@ -430,7 +455,28 @@ def symbolic_discretize(pde_system: PDESystem,
         datafree_pde_loss_functions=datafree_pde,
         datafree_bc_loss_functions=datafree_bc,
     )
-    return pinnrep
+
+
+def rebuild_strategy_losses(pinnrep, at_params=None) -> Callable:
+    """Re-run the training strategy's `build` — rule auto-refinement
+    included — with `pinnrep.flat_init_params` set to ``at_params`` (e.g.
+    TRAINED parameters), and reassemble the total loss.
+
+    This is the quadrature-adaptivity rebuild step: an auto-refined
+    `QuadratureTraining` rule was tuned on the initial-params integrand;
+    when `validate_trained` finds the trained residual outruns it, this
+    re-refines every equation's rule against the trained solution (the
+    reference's always-adaptive semantics, src/training_strategies.jl:406-436,
+    delivered at re-solve boundaries — XLA needs static shapes inside the
+    step).  Mutates ``pinnrep.loss_functions`` (and ``flat_init_params``);
+    returns the new full loss for a warm-started `TrainingProblem`."""
+    if at_params is not None:
+        pinnrep.flat_init_params = at_params
+    lf = pinnrep.loss_functions
+    pinnrep.loss_functions = _assemble_loss_functions(
+        pinnrep, lf.datafree_pde_loss_functions,
+        lf.datafree_bc_loss_functions)
+    return pinnrep.loss_functions.full_loss_function
 
 
 def discretize(pde_system: PDESystem,

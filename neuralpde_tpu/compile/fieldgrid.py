@@ -34,6 +34,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable, Sequence
 
+import numpy as np
 import jax.numpy as jnp
 
 from ..symbolic.expr import (
@@ -69,6 +70,36 @@ def grid_diff(u, h, axis: int, order: int):
                         0, axis)
 
 
+def grid_diff_spectral(u, span: float, axis: int, order: int):
+    """Spectral (FFT) derivative of a PERIODIC field along one grid axis
+    whose nodes include BOTH endpoints: the wrap node is dropped for the
+    FFT and re-appended, so the output layout matches `grid_diff`.
+
+    This is the derivative Li et al. 2021 train PINO with on periodic axes
+    (exact for band-limited fields, vs `grid_diff`'s O(h²) truncation — the
+    FNO output IS band-limited by its spectral truncation, so the residual
+    sees no discretization error at all).  ``span`` is the period
+    (grid[-1] - grid[0]).  The Nyquist mode is zeroed for odd orders (its
+    derivative is not representable on the real grid)."""
+    u = jnp.moveaxis(u, axis, 0)
+    m = u.shape[0] - 1                               # wrap node dropped
+    if m < 2:
+        raise ValueError(f"spectral derivative needs >= 3 grid nodes, got "
+                         f"{u.shape[0]}")
+    uh = jnp.fft.rfft(u[:-1], axis=0)
+    k = 2.0 * np.pi * np.fft.rfftfreq(m) * m / span  # angular wavenumbers
+    factor = (1j * k) ** order
+    if order % 2 == 1 and m % 2 == 0:
+        factor[-1] = 0.0                             # odd-order Nyquist
+    if order % 2 == 0:
+        factor = factor.real                         # (ik)^even is real
+    shape = (k.shape[0],) + (1,) * (u.ndim - 1)
+    du = jnp.fft.irfft(uh * jnp.asarray(factor.reshape(shape)), n=m, axis=0)
+    du = du.astype(u.dtype)
+    du = jnp.concatenate([du, du[0:1]], axis=0)      # re-append wrap node
+    return jnp.moveaxis(du, 0, axis)
+
+
 @dataclass
 class FieldGridContext:
     """Static lowering context: the grid layout shared by all equations.
@@ -78,17 +109,28 @@ class FieldGridContext:
     * dict_depvar_input: depvar name -> canonical input names (must equal
       iv_names for every field depvar; validated by the solver)
     * eq_params: Param names in the order of the parameter-column rows
+    * spectral_axes: names of PERIODIC axes whose field derivatives use
+      exact FFT differentiation (`grid_diff_spectral`) instead of the
+      second-order FD stencils — the caller asserts periodicity (the grid
+      must span one full period, wrap node included)
     """
 
     iv_names: list
     grids: list
     dict_depvar_input: dict
     eq_params: list
+    spectral_axes: frozenset = frozenset()
 
     def __post_init__(self):
         self.spacings = [float(g[1] - g[0]) if len(g) > 1 else 1.0
                          for g in self.grids]
+        self.spans = [float(g[-1] - g[0]) if len(g) > 1 else 1.0
+                      for g in self.grids]
         self._node_vals = [[float(v) for v in g] for g in self.grids]
+        unknown = set(self.spectral_axes) - set(self.iv_names)
+        if unknown:
+            raise ValueError(f"spectral_axes {sorted(unknown)} are not grid "
+                             f"axes ({self.iv_names})")
 
     @property
     def ndim(self) -> int:
@@ -183,7 +225,10 @@ def _ev_field(expr: Expr, fields: dict, p_cols, ctx: FieldGridContext):
         u = fields[target.name]
         for name, k in counts.items():
             axis = ctx.axis_of(name)
-            u = grid_diff(u, ctx.spacings[axis], axis, k)
+            if name in ctx.spectral_axes:
+                u = grid_diff_spectral(u, ctx.spans[axis], axis, k)
+            else:
+                u = grid_diff(u, ctx.spacings[axis], axis, k)
         return u[(*_resolve_call(target, ctx), slice(None))]
     if isinstance(expr, IntegralExpr):
         raise NotImplementedError(

@@ -651,8 +651,26 @@ def refine_weak(prob, theta, *, frac: float = 0.3, parts: int = 2,
         new_ntest[name] = (int(out_k[0]) if np.all(out_k == out_k[0])
                            else out_k)
 
+    # p-refinement can raise an axis's max test count past an EXPLICIT quad
+    # setting; under-integrated top modes are projection noise that training
+    # then chases (measured: a 20 s equal-wall front A/B regressed 0.08 ->
+    # 0.39 rel L2 before this bump).  Raise quad to the auto-resolve floor
+    # per axis; quad=None keeps auto-resolving on its own.
+    new_quad = strategy.quad
+    if new_quad is not None:
+        def floor_of(name):
+            k = new_ntest.get(name, 8)
+            return int(np.max(np.asarray(k))) + strategy.ibp + 3
+
+        if isinstance(new_quad, dict):
+            new_quad = {n: max(int(q), floor_of(n))
+                        for n, q in new_quad.items()}
+        else:
+            new_quad = max(int(new_quad),
+                           max(floor_of(n) for n in new_ntest))
+
     return WeakTraining(elements=new_elements, n_test=new_ntest,
-                        quad=strategy.quad, ibp=strategy.ibp,
+                        quad=new_quad, ibp=strategy.ibp,
                         bc_dx=strategy.bc_dx)
 
 

@@ -118,7 +118,13 @@ class PINOPDE:
     Boundary conditions stay unweighted.
     matmul_precision: dot-precision context for the loss (the round-3
     finding: TPU default f32 matmuls run bf16 passes; "highest" restores
-    true-f32 accuracy floors)."""
+    true-f32 accuracy floors).
+    spectral_axes: independent variables (Syms or names) along which field
+    derivatives are computed by exact FFT differentiation instead of the
+    2nd-order FD stencils (Li et al. 2021 train PINO with spectral
+    derivatives of the output).  Use for PERIODIC axes only — the training
+    grid must span one full period (wrap node included); the FNO is
+    already FFT-dominated, so this is nearly free."""
 
     chain: Any
     opt: Any = None
@@ -132,6 +138,7 @@ class PINOPDE:
     causal_eps: float | None = None
     causal_time_var: Any = None
     matmul_precision: str | None = None
+    spectral_axes: Any = None
     seed: int = 0
 
 
@@ -287,13 +294,16 @@ def _build(pde_system: PDESystem, alg: PINOPDE):
             shape[a] = vals.shape[i]
         return jnp.reshape(vals, shape)
 
+    spectral = frozenset(getattr(v, "name", str(v))
+                         for v in (alg.spectral_axes or ()))
     ctx = FieldGridContext(
         iv_names=ivs, grids=grids,
         dict_depvar_input={**{d.name: [a.name for a in d.args]
                               for d in pde_system.dvs},
                            **{call.name: [a.name for a in call.args]
                               for call in input_fns}},
-        eq_params=[p.name for p in pde_system.ps])
+        eq_params=[p.name for p in pde_system.ps],
+        spectral_axes=spectral)
     residuals = [build_field_residual(eq, ctx)
                  for eq in pde_system.eqs + pde_system.bcs]
 

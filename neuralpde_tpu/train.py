@@ -107,7 +107,8 @@ def solve(prob, optimizer=None, maxiters: int = 1000, *,
           callback: Callable | None = None, abstol: float | None = None,
           key=None, inner_steps: int = 1, verbose: bool = False,
           checkpoint_dir: str | None = None, checkpoint_every: int = 1000,
-          profile_dir: str | None = None):
+          profile_dir: str | None = None, quad_adapt: bool = False,
+          quad_adapt_rounds: int = 3):
     """Train a `TrainingProblem` (from `discretize`) or any object with
     `.loss(theta, lstate)` and `.init_params`.
 
@@ -116,7 +117,19 @@ def solve(prob, optimizer=None, maxiters: int = 1000, *,
     `checkpoint_every` iterations (and once at the end), and when the
     directory already holds a checkpoint, solve() RESUMES from it — iteration
     count included, so `maxiters` means *total* iterations across restarts.
-    ``profile_dir`` captures a jax.profiler trace of the run."""
+    ``profile_dir`` captures a jax.profiler trace of the run.
+
+    ``quad_adapt``: close the quadrature-adaptivity loop for auto-refined
+    `QuadratureTraining` rules.  The build-time rule matched reltol/abstol
+    on the INITIAL-params integrand; after training, `validate_trained`
+    rechecks it on the trained solution, and with ``quad_adapt=True`` a
+    failing recheck triggers up to ``quad_adapt_rounds`` rebuild+warm-start
+    re-solves (each with a fresh ``maxiters`` budget) with the rule
+    re-refined against the trained params — delivering the reference's
+    tolerances-on-the-returned-solution semantics
+    (src/training_strategies.jl:406-436) at re-solve boundaries.
+    Checkpointing is not threaded through the re-solves (their iteration
+    budgets are separate)."""
 
     optimizer = optimizer or optax.adam(1e-3)
     key = key if key is not None else jax.random.key(0)
@@ -207,14 +220,60 @@ def solve(prob, optimizer=None, maxiters: int = 1000, *,
         save_checkpoint(checkpoint_dir, theta, opt_state, iteration=it)
     # post-solve quadrature-rule recheck: an auto-refined QuadratureTraining
     # rule was tuned on the INITIAL params — warn if the TRAINED residual
-    # outruns it (strategies.QuadratureTraining.validate_trained)
+    # outruns it (strategies.QuadratureTraining.validate_trained), or, with
+    # quad_adapt=True, ACT on it: re-refine the rule against the trained
+    # params and warm-start a bounded re-solve
     strategy = pinnrep.strategy if pinnrep is not None else None
+    result = SolveResult(u=theta, objective=loss_val, iterations=it,
+                         aux={**aux, "adaptive_state": ada_state},
+                         history=history)
     if (getattr(strategy, "_trained_checks", None)
             and math.isfinite(loss_val if loss_val is not None else math.nan)):
-        strategy.validate_trained(theta)
-    return SolveResult(u=theta, objective=loss_val, iterations=it,
-                       aux={**aux, "adaptive_state": ada_state},
-                       history=history)
+        if not quad_adapt:
+            strategy.validate_trained(theta)
+        else:
+            result = _quad_adapt_resolve(
+                result, prob, strategy, optimizer, maxiters,
+                rounds=quad_adapt_rounds, abstol=abstol, key=key,
+                inner_steps=inner_steps, verbose=verbose)
+    return result
+
+
+def _quad_adapt_resolve(result, prob, strategy, optimizer, maxiters, *,
+                        rounds, abstol, key, inner_steps, verbose):
+    """The quadrature-adaptivity loop body: while the trained solution
+    outruns the frozen rule, rebuild every equation's rule against the
+    trained params (`rebuild_strategy_losses`) and warm-start a re-solve."""
+    from .compile.discretize import rebuild_strategy_losses
+
+    pinnrep = prob.pinnrep
+    for r in range(rounds):
+        reports = strategy.validate_trained(result.u, warn=False)
+        if all(rep["ok"] for rep in reports):
+            return result
+        if verbose:
+            bad = sum(1 for rep in reports if not rep["ok"])
+            print(f"[solve] quad_adapt round {r + 1}/{rounds}: {bad} "
+                  f"equation rule(s) no longer meet tolerances on the "
+                  f"trained solution; re-refining and re-solving")
+        full_loss = rebuild_strategy_losses(pinnrep, at_params=result.u)
+        prob = type(prob)(full_loss, result.u, pinnrep)
+        # the rebuild registered the refined rule's checks; stash them so
+        # the inner solve's own end-of-run recheck doesn't warn mid-loop
+        checks = strategy._trained_checks
+        strategy._trained_checks = []
+        try:
+            res2 = solve(prob, optimizer, maxiters=maxiters, abstol=abstol,
+                         key=key, inner_steps=inner_steps, verbose=verbose)
+        finally:
+            strategy._trained_checks = checks
+        result = SolveResult(u=res2.u, objective=res2.objective,
+                             iterations=result.iterations + res2.iterations,
+                             aux=res2.aux,
+                             history=result.history + res2.history)
+    # final honest recheck (warns if rounds were exhausted while failing)
+    strategy.validate_trained(result.u)
+    return result
 
 
 def solve_hybrid(prob, *, adam_iters: int = 2000, lbfgs_iters: int = 1000,

@@ -702,3 +702,110 @@ def test_pino_pde_deeponet_validation():
             strategy=GridTraining(0.25)), maxiters=1)
     with pytest.raises(ValueError, match="scalar parameter channel"):
         DeepONetPDE(0, 2)
+
+
+# ------------------------------------------------- spectral derivatives (r5)
+
+def test_grid_diff_spectral_exact_on_fourier_modes():
+    """FFT differentiation is exact (to rounding) on band-limited periodic
+    fields — vs grid_diff's O(h^2) truncation."""
+    from neuralpde_tpu.compile.fieldgrid import grid_diff_spectral
+
+    n = 32
+    xs = jnp.linspace(0.0, 1.0, n + 1)          # wrap node included
+    u = jnp.sin(2 * PI * 3 * xs)[:, None]
+    d1 = grid_diff_spectral(u, 1.0, 0, 1)
+    want1 = 2 * PI * 3 * jnp.cos(2 * PI * 3 * xs)[:, None]
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(want1),
+                               atol=1e-9 * (2 * PI * 3))
+    d2 = grid_diff_spectral(u, 1.0, 0, 2)
+    want2 = -(2 * PI * 3) ** 2 * u
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(want2),
+                               rtol=1e-9, atol=1e-6)
+    # wrap node consistency: derivative repeats at both endpoints
+    np.testing.assert_allclose(np.asarray(d1[0]), np.asarray(d1[-1]))
+    # FD on the same grid carries visible truncation error; spectral none
+    fd = grid_diff(u, float(xs[1] - xs[0]), 0, 1)
+    assert np.abs(np.asarray(fd - want1)).max() > 1e-2
+
+
+def test_grid_diff_spectral_nyquist_and_axis():
+    """Odd-order Nyquist zeroing: the pure Nyquist mode cos(pi n x) has no
+    representable first derivative -> exactly zero; and axis handling
+    matches moveaxis semantics."""
+    from neuralpde_tpu.compile.fieldgrid import grid_diff_spectral
+
+    n = 16
+    xs = np.linspace(0.0, 2.0, n + 1)
+    u = jnp.asarray(np.cos(2 * np.pi * (n // 2) * xs / 2.0))[None, :, None]
+    d1 = grid_diff_spectral(u, 2.0, 1, 1)
+    np.testing.assert_allclose(np.asarray(d1), 0.0, atol=1e-10)
+    d2 = grid_diff_spectral(u, 2.0, 1, 2)      # even order: exact
+    want = -(2 * np.pi * (n // 2) / 2.0) ** 2 * np.asarray(u)
+    np.testing.assert_allclose(np.asarray(d2), want, rtol=1e-8)
+
+
+def test_field_residual_spectral_axis():
+    """A FieldGridContext with spectral_axes lowers Deriv terms through the
+    FFT on that axis and FD on the others; unknown axes are rejected."""
+    nx, nt = 17, 7
+    gx = jnp.linspace(0.0, 1.0, nx)
+    gt = jnp.linspace(0.0, 0.5, nt)
+    x, t = E.Sym("x"), E.Sym("t")
+    u = E.DepVar("u")
+    ctx = FieldGridContext(iv_names=["x", "t"], grids=[gx, gt],
+                           dict_depvar_input={"u": ["x", "t"]}, eq_params=[],
+                           spectral_axes=frozenset({"x"}))
+    # u(x,t) = sin(2 pi x) * (1 + t): u_xx = -(2pi)^2 u, exact spectrally
+    field = (jnp.sin(2 * PI * gx)[:, None] * (1.0 + gt)[None, :])[..., None]
+    res = build_field_residual(
+        E.Eq(E.Deriv(u(x, t), (x, x)), E.Num(-(2 * PI) ** 2) * u(x, t)), ctx)
+    r = np.asarray(res({"u": field}, jnp.zeros((0, 1))))
+    np.testing.assert_allclose(r, 0.0, atol=1e-4)
+    # the t axis stays FD: u_t - sin = 0 only up to FD error but structure ok
+    res_t = build_field_residual(
+        E.Eq(E.Deriv(u(x, t), (t,)),
+             E.Call("*", (E.Num(1.0), u(x, t)))), ctx)
+    assert np.isfinite(np.asarray(res_t({"u": field},
+                                        jnp.zeros((0, 1))))).all()
+    with pytest.raises(ValueError, match="spectral_axes"):
+        FieldGridContext(iv_names=["x"], grids=[gx],
+                         dict_depvar_input={"u": ["x"]}, eq_params=[],
+                         spectral_axes=frozenset({"zz"}))
+
+
+def test_pino_pde_spectral_axes_ic_operator():
+    """The heat IC-operator family trained with derivative='spectral' on the
+    periodic x axis: same gate as the FD run, and the interior heat residual
+    evaluated spectrally must be SMALLER than the FD path's truncation floor
+    on the trained solution."""
+    NU = 0.05
+    x, t = E.Sym("x"), E.Sym("t")
+    u, f0 = E.DepVar("u"), E.DepVar("f0")
+    eq = E.Eq(E.Deriv(u(x, t), (t,)), E.Num(NU) * E.Deriv(u(x, t), (x, x)))
+    bcs = [E.Eq(u(x, E.Num(0.0)), f0(x)),
+           E.Eq(u(E.Num(0.0), t), u(E.Num(1.0), t)),
+           E.Eq(E.Deriv(u(E.Num(0.0), t), (x,)),
+                E.Deriv(u(E.Num(1.0), t), (x,)))]
+    sysd = PDESystem(eq, bcs,
+                     [Domain(x, Interval(0, 1)), Domain(t, Interval(0, 0.5))],
+                     ivs=[x, t], dvs=[u(x, t)])
+    grf = GaussianRandomField(length_scale=0.15)
+    alg = PINOPDE(chain=FNO2D(1, width=16, modes=(10, 6), depth=2),
+                  opt=optax.adam(2e-3), number_of_parameters=16,
+                  input_functions={f0(x): grf},
+                  spectral_axes=(x,),
+                  strategy=GridTraining([1 / 32, 1 / 16]))
+    sol = solve_pino_pde(sysd, alg, maxiters=800, inner_steps=25)
+
+    gx, gt = np.asarray(sol.grids[0]), np.asarray(sol.grids[1])
+    test_ic = np.asarray(grf(jax.random.key(99), [sol.grids[0]], 8))
+    pred = np.asarray(sol(input_values={"f0": jnp.asarray(test_ic)}))
+    m = len(gx) - 1
+    k = 2 * np.pi * np.fft.rfftfreq(m, d=1.0 / m)
+    uh0 = np.fft.rfft(test_ic[:-1, :], axis=0)
+    want = np.stack([np.fft.irfft(uh0 * np.exp(-NU * k[:, None]**2 * tt),
+                                  n=m, axis=0) for tt in gt], axis=1)
+    want = np.concatenate([want, want[:1]], axis=0)
+    rel = np.linalg.norm(pred - want) / np.linalg.norm(want)
+    assert rel < 0.09, rel

@@ -253,3 +253,88 @@ def test_get_numeric_integral_adaptive_2d():
         expr, cord, theta, [x])
     np.testing.assert_allclose(np.asarray(adaptive), np.asarray(static),
                                rtol=1e-5, atol=1e-8)
+
+
+# --- the closed adaptivity loop: solve(quad_adapt=True) acts on the recheck -
+
+def _rff_chain():
+    from neuralpde_tpu import Chain, Dense, FourierFeatures
+
+    # random-Fourier-feature net: enough spectral headroom to ALIAS between
+    # coarse quadrature nodes (a plain tanh MLP is too smooth to go wrong)
+    return Chain(FourierFeatures(1, 16, sigma=6.0),
+                 Dense(32, 24, jnp.tanh), Dense(24, 1))
+
+
+def test_quad_adapt_loop_fixes_aliased_solution():
+    """A deliberately coarse auto-refined rule (loose reltol, small node
+    budget) lets the RFF network train to a WRONG solution (tiny residual at
+    the frozen nodes, large in between -> validate_trained fails).  With
+    quad_adapt=True the loop re-refines the rule against the trained params,
+    warm-starts a re-solve, and both fixes the solution and passes the final
+    recheck — the reference's tolerances-on-the-returned-solution semantics
+    (reference: src/training_strategies.jl:406-436)."""
+    import warnings
+
+    from neuralpde_tpu import sin as nsin
+
+    x = symbols("x")
+    u = DepVar("u")
+    Dxx = Differential(x) ** 2
+    eq = Eq(Dxx(u(x)), -np.pi**2 * nsin(np.pi * x))
+    bcs = [Eq(u(0.0), 0.0), Eq(u(1.0), 0.0)]
+    system = PDESystem(eq, bcs, [Domain(x, Interval(0, 1))], [x], [u(x)])
+
+    def rel(prob, theta):
+        xs = np.linspace(0, 1, 301)
+        pred = np.asarray(prob.pinnrep.phi(np.asarray(xs)[None, :],
+                                           theta["depvar"])).ravel()
+        want = np.sin(np.pi * xs)
+        return float(np.linalg.norm(pred - want) / np.linalg.norm(want))
+
+    def make():
+        strat = QuadratureTraining(order=3, reltol=0.05, abstol=1e-8,
+                                   maxiters=400)
+        disc = PhysicsInformedNN(_rff_chain(), strat)
+        return strat, discretize(system, disc)
+
+    strat1, prob1 = make()
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        res1 = solve(prob1, optax.adam(1e-3), maxiters=3000, inner_steps=50)
+    rep1 = strat1.validate_trained(res1.u, warn=False)
+    assert not all(r["ok"] for r in rep1)          # the frozen rule fails
+    assert any("no longer meets" in str(w.message) for w in rec)
+    rel1 = rel(prob1, res1.u)
+    assert rel1 > 0.5, rel1                        # ... and the solution is wrong
+
+    strat2, prob2 = make()
+    res2 = solve(prob2, optax.adam(1e-3), maxiters=3000, inner_steps=50,
+                 quad_adapt=True, quad_adapt_rounds=2)
+    rep2 = strat2.validate_trained(res2.u, warn=False)
+    assert all(r["ok"] for r in rep2)              # recheck now passes
+    assert rep2[0]["panels"] > rep1[0]["panels"]   # the rule was re-refined
+    rel2 = rel(prob2, res2.u)
+    assert rel2 < 0.5 * rel1, (rel2, rel1)         # ... and the loop fixed it
+    assert res2.iterations == 6000                 # one warm-started re-solve
+
+
+def test_quad_adapt_noop_when_rule_holds():
+    """quad_adapt=True must not re-solve when the trained recheck passes
+    (smooth problem, adequate rule)."""
+    from neuralpde_tpu import sin as nsin
+
+    x = symbols("x")
+    u = DepVar("u")
+    Dxx = Differential(x) ** 2
+    eq = Eq(Dxx(u(x)), -np.pi**2 * nsin(np.pi * x))
+    bcs = [Eq(u(0.0), 0.0), Eq(u(1.0), 0.0)]
+    system = PDESystem(eq, bcs, [Domain(x, Interval(0, 1))], [x], [u(x)])
+    strat = QuadratureTraining(order=8, reltol=1e-3, abstol=1e-6,
+                               maxiters=1000)
+    disc = PhysicsInformedNN(mlp([1, 16, 1]), strat)
+    prob = discretize(system, disc)
+    res = solve(prob, optax.adam(2e-3), maxiters=1000, inner_steps=50,
+                quad_adapt=True)
+    assert res.iterations == 1000                  # no re-solve happened
+    assert all(r["ok"] for r in strat.validate_trained(res.u, warn=False))
