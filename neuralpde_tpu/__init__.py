@@ -62,10 +62,10 @@ from .compile.weak import WeakTraining, refine_weak, solve_weak_adaptive
 from .solvers import (
     DAEProblem, DeepGalerkin, DeepRitz, GaussianRandomField, NNDAE, NNODE,
     NNSDE, ODEPhi,
-    ODEProblem, ODESolution, PINOODE, PINOODESolution, PINOPDE,
-    PINOPDESolution, SDEPINN, SDEProblem, SDEsol, discretize_ritz,
+    ODEProblem, ODESolution, PINOEnsembleResult, PINOODE, PINOODESolution,
+    PINOPDE, PINOPDESolution, SDEPINN, SDEProblem, SDEsol, discretize_ritz,
     neural_adapter, solve_dae, solve_ode, solve_pino_ode, solve_pino_pde,
-    solve_sde, solve_sde_weak,
+    solve_pino_pde_ensemble, solve_sde, solve_sde_weak,
 )
 from .bayesian import (
     BNNODE, BPINNsolution, BPINNstats, ahmc_bayesian_pinn_ode,

@@ -137,7 +137,8 @@ def _ensemble_sharding(mesh: Mesh, tree):
 def solve_ensemble(prob, optimizer=None, maxiters: int = 1000, *,
                    n_ensemble: int = 8, key=None, inner_steps: int = 1,
                    mesh: Mesh | None = None, abstol: float | None = None,
-                   verbose: bool = False) -> EnsembleResult:
+                   verbose: bool = False,
+                   member_init=None) -> EnsembleResult:
     """Train `n_ensemble` independent initializations of a `TrainingProblem`
     as one vmapped program (one compile, N members per step).
 
@@ -150,6 +151,10 @@ def solve_ensemble(prob, optimizer=None, maxiters: int = 1000, *,
     * Stopping: `abstol` stops when the BEST member crosses it; divergence
       of individual members does not stop the run (their losses go
       non-finite and argmin ignores them) — only all-members-diverged stops.
+    * ``member_init``: `(key) -> theta pytree` override for problems without
+      a `pinnrep` (e.g. operator families via `solve_pino_pde_ensemble`,
+      which supplies the FNO init); default draws the chain init the same
+      way symbolic_discretize does.
 
     Callbacks/checkpointing are intentionally not supported here: members
     advance in lockstep inside one program; checkpoint the winner
@@ -157,12 +162,14 @@ def solve_ensemble(prob, optimizer=None, maxiters: int = 1000, *,
     """
     optimizer = optimizer or optax.adam(1e-3)
     key = key if key is not None else jax.random.key(0)
-    rep = prob.pinnrep
-    adaloss = rep.adaloss
-    lf = rep.loss_functions
+    rep = getattr(prob, "pinnrep", None)
+    if rep is None and member_init is None:
+        raise ValueError("a problem without a pinnrep needs member_init=")
+    adaloss = rep.adaloss if rep is not None else None
+    lf = rep.loss_functions if rep is not None else None
     n_pde = len(lf.pde_loss_functions) if lf else 0
     n_bc = len(lf.bc_loss_functions) if lf else 0
-    dtype = rep.dtype or jnp.float32
+    dtype = (rep.dtype if rep is not None else None) or jnp.float32
 
     if mesh is not None and n_ensemble % mesh.devices.size != 0:
         raise ValueError(f"n_ensemble={n_ensemble} must be a multiple of the "
@@ -170,7 +177,7 @@ def solve_ensemble(prob, optimizer=None, maxiters: int = 1000, *,
 
     member_keys = jax.vmap(lambda m: jax.random.fold_in(key, m))(
         jnp.arange(n_ensemble))
-    theta = jax.vmap(_member_init_fn(prob))(member_keys)
+    theta = jax.vmap(member_init or _member_init_fn(prob))(member_keys)
     opt_state = jax.vmap(optimizer.init)(theta)
 
     def ada_init(_):

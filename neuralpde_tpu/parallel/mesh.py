@@ -57,6 +57,21 @@ def use_mesh(mesh: Mesh):
         _ACTIVE_MESH = prev
 
 
+@contextlib.contextmanager
+def no_mesh():
+    """Temporarily deactivate the ambient mesh.  Used by drivers that own
+    the device axis themselves (e.g. ensemble training shards the MEMBER
+    axis; the loss they build must not also shard_map its batch/family
+    axis over the same devices)."""
+    global _ACTIVE_MESH
+    prev = _ACTIVE_MESH
+    _ACTIVE_MESH = None
+    try:
+        yield
+    finally:
+        _ACTIVE_MESH = prev
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the trailing (points) axis of a (dim, N) coordinate matrix."""
     return NamedSharding(mesh, P(None, BATCH_AXIS))

@@ -492,6 +492,123 @@ def _make_solution(b, theta_trained, res) -> PINOPDESolution:
                            loss_fn=b.total_loss)
 
 
+@dataclass
+class PINOEnsembleResult:
+    """Deep ensemble over a PINOPDE operator family: N independent FNO (or
+    DeepONetPDE) initializations trained as ONE vmapped program, member axis
+    shardable over the mesh (ensemble parallelism — same mechanics as
+    `parallel.ensemble.solve_ensemble`, VERDICT r4 item 5).
+
+    `best` is a full `PINOPDESolution` for the lowest-loss member (the
+    seed-lottery fix); `mean_and_std` gives the deep-ensemble epistemic UQ
+    over family predictions (Lakshminarayanan et al. 2017) — the UQ story
+    the pointwise solvers already have, extended to operator learning."""
+
+    members: Any               # {"depvar": pytree}, leaves (n_ensemble, ...)
+    losses: Any                # (n_ensemble,) final per-member objectives
+    iterations: int
+    history: list
+    _b: Any = None             # the shared _build namespace
+    _jit_eval_members: Any = None
+
+    @property
+    def n_ensemble(self) -> int:
+        return int(jax.tree.leaves(self.members)[0].shape[0])
+
+    @property
+    def best_index(self) -> int:
+        import numpy as _np
+        l = _np.asarray(self.losses)
+        return int(_np.nanargmin(_np.where(_np.isfinite(l), l, _np.nan)))
+
+    @property
+    def best(self) -> PINOPDESolution:
+        return self.member_solution(self.best_index)
+
+    def member_solution(self, i: int) -> PINOPDESolution:
+        """Full `PINOPDESolution` for member i (same surface as a solo
+        `solve_pino_pde`, including discretization transfer + export)."""
+        theta_i = jax.tree.map(lambda x: x[i], self.members)["depvar"]
+        from ..train import SolveResult
+        res = SolveResult(u={"depvar": theta_i},
+                          objective=float(self.losses[i]),
+                          iterations=self.iterations, aux={}, history=[])
+        return _make_solution(self._b, theta_i, res)
+
+    def _eval_args(self, p, grids, input_values):
+        b = self._b
+        p = b.p_tr if p is None else jnp.atleast_2d(jnp.asarray(p))
+        gs = (b.grids if grids is None
+              else [jnp.ravel(jnp.asarray(g)) for g in grids])
+        if input_values is None:
+            if grids is not None and b.input_samples:
+                raise ValueError(
+                    "evaluating on new grids requires input_values for the "
+                    f"input functions {sorted(b.fn_names)}")
+            input_values = b.input_samples
+        vals = {n: jnp.asarray(v, b.dtype) for n, v in input_values.items()}
+        missing = set(b.fn_names) - set(vals)
+        if missing:
+            raise ValueError(f"missing input_values for {sorted(missing)}")
+        return p, gs, vals
+
+    def predict(self, p=None, grids=None, input_values=None):
+        """Every member's family prediction: (n_ensemble, [n_dv,] N1..Nd, P).
+        Defaults evaluate on the training family/grids; new grids/values
+        follow the `PINOPDESolution.__call__` contract."""
+        b = self._b
+        p, gs, vals = self._eval_args(p, grids, input_values)
+        with b.prec:
+            fields = self._jit_eval_members(self.members["depvar"],
+                                            p, gs, vals)
+        if b.n_dv == 1:
+            return fields[b.depvars[0]]
+        return jnp.stack([fields[n] for n in b.depvars], axis=1)
+
+    def mean_and_std(self, p=None, grids=None, input_values=None):
+        """Deep-ensemble predictive mean and epistemic std over members."""
+        preds = self.predict(p, grids, input_values)
+        return jnp.mean(preds, axis=0), jnp.std(preds, axis=0)
+
+
+def solve_pino_pde_ensemble(pde_system: PDESystem, alg: PINOPDE, *,
+                            n_ensemble: int = 8, maxiters: int = 1000,
+                            key=None, inner_steps: int = 1, mesh=None,
+                            abstol: float | None = None,
+                            verbose: bool = False) -> PINOEnsembleResult:
+    """Train `n_ensemble` independent operator initializations as one
+    vmapped program; member m's init and loss-key stream come from
+    `fold_in(key, m)`, so member m reproduces a solo
+    ``solve_pino_pde(system, replace(alg, init_params=chain.init(
+    fold_in(key, m))), key=fold_in(key, m))`` exactly (parity-tested).
+
+    ``mesh`` shards the MEMBER axis (ensemble parallelism): pass
+    ``make_mesh(axis_name="ensemble")``.  The family-axis shard_map of the
+    solo path is disabled during the build — members own the device axis;
+    use one or the other."""
+    from ..parallel.ensemble import solve_ensemble
+    from ..parallel.mesh import no_mesh
+
+    if alg.init_params is not None:
+        raise ValueError("solve_pino_pde_ensemble draws per-member inits; "
+                         "init_params= would make the members identical")
+    # build the loss WITHOUT family-axis shard_map: the ensemble member axis
+    # owns the mesh (two shard_maps over the same devices would conflict)
+    with no_mesh():
+        b = _build(pde_system, alg)
+    chain = alg.chain
+    prob = _SimpleProblem(b.total_loss, {"depvar": b.chain_params})
+    res = solve_ensemble(prob, alg.opt or optax.adam(1e-3),
+                         maxiters=maxiters, n_ensemble=n_ensemble, key=key,
+                         inner_steps=inner_steps, mesh=mesh, abstol=abstol,
+                         verbose=verbose,
+                         member_init=lambda k: {"depvar": chain.init(k)})
+    jit_eval = jax.jit(jax.vmap(b.eval_fields, in_axes=(0, None, None, None)))
+    return PINOEnsembleResult(members=res.members, losses=res.losses,
+                              iterations=res.iterations, history=res.history,
+                              _b=b, _jit_eval_members=jit_eval)
+
+
 def solve_pino_pde(pde_system: PDESystem, alg: PINOPDE, *,
                    abstol: float = 1e-8, verbose: bool = False,
                    maxiters: int = 1000, key=None, inner_steps: int = 1,
