@@ -13,7 +13,10 @@ baseline; PERF.md has the full sweep and the to-accuracy numbers).
 
 The default run also emits driver-reproducible ON-CHIP accuracy fields
 (`*_rel_l2`, accuracy_suite) and the measured matmul_precision="highest"
-throughput cost (`*_highest_*`).
+throughput cost (`*_highest_*`).  `--accuracy-full` runs the REAL
+flagship recipes (Allen-Cahn 4x75k eps continuation, Beltrami 65^4
+3x20k) and emits the same JSON contract — ~1.5 h on one chip
+(VERDICT r4 item 8).
 """
 
 from __future__ import annotations
@@ -846,6 +849,41 @@ def accuracy_suite():
     return out
 
 
+def accuracy_full():
+    """Driver-invocable FULL-budget flagship accuracy (VERDICT r4 item 8):
+    the real recipes behind the PERF.md headline claims, same JSON
+    contract as the default run.  ~1.5 h on one v5e chip:
+
+    * Allen-Cahn separable+causal+highest, 4x75k eps continuation
+      (100 -> 1e3 -> 1e4 -> 1e5)               PERF band ~0.0032
+    * (3+1)-D Beltrami Navier-Stokes, 65^4 grid, rank 64,
+      3x20k eps continuation (1 -> 10 -> 30)   PERF band ~0.0063
+    """
+    import pathlib
+    import sys
+
+    sys.path.append(str(pathlib.Path(__file__).parent / "examples"))
+    import allen_cahn_spinn
+    import beltrami_spinn
+
+    out = {"metric": "accuracy_full"}
+    ac = allen_cahn_spinn.run()
+    out["allen_cahn_full_rel_l2"] = round(ac["rel_l2"], 5)
+    out["allen_cahn_full_wall_s"] = ac["wall_s"]
+    out["allen_cahn_full_per_stage"] = [[e, round(r, 5)]
+                                        for e, r in ac["per_stage"]]
+    print(json.dumps(out), flush=True)   # partial line early: the Beltrami
+    # run is ~50 min — if the tunnel dies mid-way the driver still gets
+    # the Allen-Cahn fields from this first line
+    bl = beltrami_spinn.run()
+    out["beltrami_full_rel_l2"] = round(bl["rel_l2"], 5)
+    out["beltrami_full_wall_s"] = bl["wall_s"]
+    out["beltrami_full_per_stage"] = [[e, round(r, 5)]
+                                      for e, r in bl["per_stage"]]
+    print(json.dumps(out), flush=True)
+    return out
+
+
 def _arm_device_watchdog(seconds: float = 900.0):
     """Emit an honest error JSON line and exit if device init never
     completes (a dead TPU tunnel hangs jax.devices() indefinitely; the
@@ -951,6 +989,14 @@ if __name__ == "__main__":
         spinn_points_per_sec()
     elif "--to-l2-spinn" in sys.argv:
         time_to_l2_spinn()
+    elif "--accuracy-full" in sys.argv:
+        # FULL-budget flagship recipes (~1.5 h; VERDICT r4 item 8)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/neuralpde_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        accuracy_full()
     elif "--accuracy" in sys.argv:
         # standalone on-chip accuracy suite (the default run includes it)
         import jax

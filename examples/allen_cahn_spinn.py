@@ -62,16 +62,15 @@ def build_net(rank: int, hidden=(64, 64, 64), n_modes: int = 10):
     return SeparableNet([x_net, t_net])
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--precision", default="highest",
-                    choices=["default", "highest"])
-    ap.add_argument("--rank", type=int, default=256)
-    ap.add_argument("--nodes", type=int, default=256)
-    ap.add_argument("--iters", type=int, default=75000,
-                    help="iters per continuation stage")
-    args = ap.parse_args()
+DEFAULT_STAGES = ((100.0, 1e-3), (1e3, 5e-4), (1e4, 2e-4), (1e5, 1e-4))
 
+
+def run(rank: int = 256, nodes: int = 256, iters: int = 75000,
+        precision: str = "highest", stages=DEFAULT_STAGES,
+        verbose: bool = True) -> dict:
+    """The full eps-continuation recipe as a callable (bench.py
+    --accuracy-full runs this at the headline budget).  Returns
+    {"rel_l2", "wall_s", "per_stage": [(eps, rel), ...]}."""
     xg, ts, U = ground_truth()
     X, T = np.meshgrid(xg, ts, indexing="ij")
     cord = jnp.asarray(np.stack([X.ravel(), T.ravel()]), jnp.float32)
@@ -90,15 +89,16 @@ def main():
                        [Domain(x, Interval(-1, 1)), Domain(t, Interval(0, 1))],
                        [x, t], [u(x, t)])
 
-    net = build_net(args.rank)
-    dx = 2.0 / (args.nodes - 1)
-    dt_ = 1.0 / (args.nodes - 1)
+    net = build_net(rank)
+    dx = 2.0 / (nodes - 1)
+    dt_ = 1.0 / (nodes - 1)
 
-    mp = "highest" if args.precision == "highest" else None
+    mp = "highest" if precision == "highest" else None
     theta = None
+    per_stage = []
+    rel = float("nan")
     t0 = time.perf_counter()
-    for eps, lr in [(100.0, 1e-3), (1e3, 5e-4), (1e4, 2e-4),
-                    (1e5, 1e-4)]:
+    for eps, lr in stages:
         strat = SeparableTraining(dx=[dx, dt_], causal=t, causal_eps=eps)
         disc = PhysicsInformedNN(
             net, strat, dtype=jnp.float32, matmul_precision=mp,
@@ -106,7 +106,7 @@ def main():
         prob = discretize(system, disc)
         if theta is not None:
             prob = prob.with_params(theta)
-        res = solve(prob, optax.adam(lr), maxiters=args.iters,
+        res = solve(prob, optax.adam(lr), maxiters=iters,
                     inner_steps=1000)
         theta = res.u
         # evaluation ALWAYS under true-f32 passes: the reported number is a
@@ -114,9 +114,26 @@ def main():
         with jax.default_matmul_precision("highest"):
             pred = net.apply(theta["depvar"], cord)[0]
         rel = float(jnp.linalg.norm(pred - want) / jnp.linalg.norm(want))
-        print(f"eps={eps:>7} rank={args.rank} nodes={args.nodes} "
-              f"prec={args.precision}: rel L2 = {rel:.4f}  "
-              f"(t = {time.perf_counter() - t0:.1f}s)", flush=True)
+        per_stage.append((eps, rel))
+        if verbose:
+            print(f"eps={eps:>7} rank={rank} nodes={nodes} "
+                  f"prec={precision}: rel L2 = {rel:.4f}  "
+                  f"(t = {time.perf_counter() - t0:.1f}s)", flush=True)
+    return {"rel_l2": rel, "wall_s": round(time.perf_counter() - t0, 1),
+            "per_stage": per_stage}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--precision", default="highest",
+                    choices=["default", "highest"])
+    ap.add_argument("--rank", type=int, default=256)
+    ap.add_argument("--nodes", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=75000,
+                    help="iters per continuation stage")
+    args = ap.parse_args()
+    run(rank=args.rank, nodes=args.nodes, iters=args.iters,
+        precision=args.precision)
 
 
 if __name__ == "__main__":

@@ -157,6 +157,53 @@ def rel_l2_velocities(nets, theta, n_eval: int = 33):
     return float(np.sqrt(num2 / den2))
 
 
+DEFAULT_STAGES = ((1.0, 1e-3), (10.0, 5e-4), (30.0, 5e-4))
+
+
+def run(nodes: int = 65, rank: int = 64, iters: int = 20000,
+        precision: str = "highest", stages=DEFAULT_STAGES,
+        theta=None, save: str | None = None, verbose: bool = True) -> dict:
+    """The full eps-continuation recipe as a callable (bench.py
+    --accuracy-full runs this at the headline budget).  Returns
+    {"rel_l2", "wall_s", "per_stage": [(eps, rel), ...]}."""
+    system = build_system()
+    nets = make_nets(rank)
+    h = 2.0 / (nodes - 1)
+    ht = 1.0 / (nodes - 1)
+    mp = "highest" if precision == "highest" else None
+    # 3 velocity ICs at weight 100, 18 faces at 10, gauge at 10
+    bc_w = [100.0] * 3 + [10.0] * 18 + [10.0]
+
+    per_stage = []
+    rel = float("nan")
+    t0 = time.perf_counter()
+    for eps, lr in stages:
+        strat = SeparableTraining(dx=[h, h, h, ht], causal=t, causal_eps=eps)
+        disc = PhysicsInformedNN(
+            nets, strat, dtype=jnp.float32, matmul_precision=mp,
+            adaptive_loss=NonAdaptiveLoss(bc_loss_weights=bc_w))
+        prob = discretize(system, disc)
+        if theta is not None:
+            prob = prob.with_params(theta)
+        res = solve(prob, optax.adam(lr), maxiters=iters,
+                    inner_steps=500)
+        theta = res.u
+        rel = rel_l2_velocities(nets, theta)
+        per_stage.append((eps, rel))
+        if verbose:
+            print(f"eps={eps} nodes={nodes}^4 rank={rank} "
+                  f"prec={precision}: rel L2(u,v,w) = {rel:.4f} "
+                  f"(loss {res.objective:.3e}, "
+                  f"t = {time.perf_counter() - t0:.1f}s)", flush=True)
+        if save:
+            import pickle
+
+            with open(save, "wb") as fh:
+                pickle.dump(jax.device_get(theta), fh)
+    return {"rel_l2": rel, "wall_s": round(time.perf_counter() - t0, 1),
+            "per_stage": per_stage}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nodes", type=int, default=65)
@@ -173,14 +220,6 @@ def main():
                     help="warm-start from a --save'd params pickle")
     args = ap.parse_args()
 
-    system = build_system()
-    nets = make_nets(args.rank)
-    h = 2.0 / (args.nodes - 1)
-    ht = 1.0 / (args.nodes - 1)
-    mp = "highest" if args.precision == "highest" else None
-    # 3 velocity ICs at weight 100, 18 faces at 10, gauge at 10
-    bc_w = [100.0] * 3 + [10.0] * 18 + [10.0]
-
     theta = None
     if args.load:
         import pickle
@@ -189,29 +228,9 @@ def main():
             theta = pickle.load(fh)
     stages = [(float(s.split(":")[0]), float(s.split(":")[1]))
               for s in args.stages.split(",")]
-    t0 = time.perf_counter()
-    for eps, lr in stages:
-        strat = SeparableTraining(dx=[h, h, h, ht], causal=t, causal_eps=eps)
-        disc = PhysicsInformedNN(
-            nets, strat, dtype=jnp.float32, matmul_precision=mp,
-            adaptive_loss=NonAdaptiveLoss(bc_loss_weights=bc_w))
-        prob = discretize(system, disc)
-        if theta is not None:
-            prob = prob.with_params(theta)
-        res = solve(prob, optax.adam(lr), maxiters=args.iters,
-                    inner_steps=500)
-        theta = res.u
-        rel = rel_l2_velocities(nets, theta)
-        print(f"eps={eps} nodes={args.nodes}^4 rank={args.rank} "
-              f"prec={args.precision}: rel L2(u,v,w) = {rel:.4f} "
-              f"(loss {res.objective:.3e}, t = {time.perf_counter()-t0:.1f}s)",
-              flush=True)
-        if args.save:
-            import pickle
-
-            with open(args.save, "wb") as fh:
-                pickle.dump(jax.device_get(theta), fh)
-    return rel
+    return run(nodes=args.nodes, rank=args.rank, iters=args.iters,
+               precision=args.precision, stages=stages, theta=theta,
+               save=args.save)["rel_l2"]
 
 
 if __name__ == "__main__":
