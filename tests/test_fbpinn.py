@@ -42,6 +42,46 @@ def test_fbpinn_validation():
         FBPINN([(1, 0)])
     with pytest.raises(ValueError, match="subdivisions"):
         FBPINN([(0, 1)], subdivisions=0)
+    with pytest.raises(ValueError, match="not both"):
+        FBPINN([(0, 1)], subdivisions=4, levels=[1, 2])
+    with pytest.raises(ValueError, match="non-empty"):
+        FBPINN([(0, 1)], levels=[])
+
+
+def test_fbpinn_multilevel_structure_and_parity():
+    """levels=[1,2,4] (Dolean et al. 2024): per-level partition of unity,
+    and the hierarchy's output equals the average of single-level FBPINNs
+    evaluated with the corresponding parameter stacks."""
+    bounds = [(0, 1), (-1, 1)]
+    net = FBPINN(bounds, levels=[1, 2, 4], hidden=(8,))
+    assert net.n_levels == 3
+    assert net.n_subdomains == 1 + 4 + 16
+    params = net.init(jax.random.key(3))
+    assert isinstance(params["nets"], list) and len(params["nets"]) == 3
+
+    x = jnp.stack([jnp.linspace(0.02, 0.98, 29),
+                   jnp.linspace(-0.96, 0.96, 29)])
+    for l in range(3):
+        w = net._windows(x, l)
+        np.testing.assert_allclose(np.asarray(jnp.sum(w, axis=0)), 1.0,
+                                   rtol=1e-6)
+
+    y = net.apply(params, x)
+    assert y.shape == (1, 29)
+    singles = []
+    for l, subs in enumerate([1, 2, 4]):
+        lvl = FBPINN(bounds, subdivisions=subs, hidden=(8,))
+        singles.append(lvl.apply({"nets": params["nets"][l]}, x))
+    np.testing.assert_allclose(np.asarray(y),
+                               np.asarray(sum(singles) / 3), rtol=1e-6)
+
+    # nested-jvp derivatives compose through the hierarchy
+    def u(s):
+        return net.apply(params, s[:, None])[0, 0]
+
+    g = jax.grad(lambda s: jax.grad(
+        lambda t: u(jnp.stack([t, s[1]])))(s[0]))(jnp.array([0.5, 0.5]))
+    assert np.all(np.isfinite(np.asarray(g)))
 
 
 def test_fbpinn_windows_are_c2():
