@@ -139,6 +139,30 @@ def test_fbpinn_multiscale_ode_beats_plain_mlp():
     assert rel_fb < rel_mlp / 4, (rel_fb, rel_mlp)
 
 
+def test_fbpinn_multilevel_trains_two_scale():
+    """End-to-end: a [1,2,4] hierarchy trains the two-scale ODE
+    u' = 2pi cos(2pi x) + 8pi cos(8pi x), u(0)=0 (hard-constrained) to
+    rel L2 < 5e-2 — both the coarse and the fine mode must be fit (exact
+    u = sin(2pi x) + sin(8pi x) has equal-amplitude components)."""
+    from neuralpde_tpu import Transformed
+
+    x = symbols("x")
+    u = DepVar("u")
+    f = 2 * PI * cos(2 * PI * x) + 8 * PI * cos(8 * PI * x)
+    system = PDESystem([Eq(Differential(x)(u(x)), f)], [Eq(u(0.0), 0.0)],
+                       [Domain(x, Interval(0, 1))], ivs=[x], dvs=[u(x)])
+    net = Transformed(FBPINN([(0, 1)], levels=[1, 2, 4], hidden=(12,)),
+                      lambda c, out: jnp.tanh(8 * PI * c[0:1]) * out)
+    prob = discretize(system, PhysicsInformedNN(net, GridTraining(1 / 256),
+                                                dtype=jnp.float64))
+    res = solve(prob, optax.adam(2e-3), maxiters=4000, inner_steps=200)
+    g = np.linspace(0, 1, 801)
+    pred = np.asarray(prob.pinnrep.phi(g[None, :], res.u["depvar"])).ravel()
+    want = np.sin(2 * PI * g) + np.sin(8 * PI * g)
+    rel = np.linalg.norm(pred - want) / np.linalg.norm(want)
+    assert rel < 0.05, rel
+
+
 def test_fbpinn_2d_poisson_and_gauss_newton():
     """2-D composition: a 2x2 FBPINN basis solves the Poisson problem
     through the standard pipeline (boundary weighting matters here: windows
