@@ -140,10 +140,14 @@ def part_ode(iters):
 
 
 # --------------------------------------------------------------- part 2
-def part_laplace(iters):
-    """2-D multi-scale Laplace: u = (1/L) sum sin(2^l pi x) sin(2^l pi y)."""
-    L = 4
-    omegas = [2.0 ** l for l in range(1, L + 1)]       # 2, 4, 8, 16
+def part_laplace(iters, L=4):
+    """2-D multi-scale Laplace: u = (1/L) sum sin(2^l pi x) sin(2^l pi y).
+
+    L=4 (modes up to 16pi) trains on a 129^2 grid with a 16x16 finest
+    decomposition; L=5 (up to 32pi) moves to stochastic 16384-point
+    batches with eval on 257^2 and a 32x32 finest grid — the scale
+    separation where Dolean et al. report flat FBPINNs failing."""
+    omegas = [2.0 ** l for l in range(1, L + 1)]       # 2, 4, ..., 2^L
     x, y = symbols("x y")
     u = DepVar("u")
     lap = (Differential(x) ** 2)(u(x, y)) + (Differential(y) ** 2)(u(x, y))
@@ -155,7 +159,11 @@ def part_laplace(iters):
          Eq(u(x, 0.0), 0.0), Eq(u(x, 1.0), 0.0)],
         [Domain(x, Interval(0, 1)), Domain(y, Interval(0, 1))],
         ivs=[x, y], dvs=[u(x, y)])
-    strat = GridTraining(1 / 128)    # 129^2 nodes: ~16 per finest period
+    if L <= 4:
+        strat = GridTraining(1 / 128)   # 129^2 nodes: ~16 per finest period
+    else:
+        from neuralpde_tpu import StochasticTraining
+        strat = StochasticTraining(16384, bcs_points=64)
 
     g = np.linspace(0, 1, 257)
     X, Y = np.meshgrid(g, g, indexing="ij")
@@ -171,14 +179,16 @@ def part_laplace(iters):
         return Transformed(base, lambda c, out: 16.0 * c[0:1] * (1 - c[0:1])
                            * c[1:2] * (1 - c[1:2]) * out)
 
+    finest = 2 ** L
+    levels = [2 ** l for l in range(L + 1)]            # 1, 2, ..., 2^L
     print(f"[laplace] -Lap u = f, u = (1/{L}) sum sin(2^l pi x) sin(2^l pi y)"
-          f" l=1..{L}, grid 129^2, hard-constrained boundary")
-    ml = run_row("multilevel FBPINN [1,2,4,8,16]",
+          f" l=1..{L}, hard-constrained boundary")
+    ml = run_row(f"multilevel FBPINN {levels}",
                  system, hard(FBPINN([(0, 1), (0, 1)],
-                                     levels=[1, 2, 4, 8, 16], hidden=(16,))),
+                                     levels=levels, hidden=(16,))),
                  strat, iters=iters, lr=1e-3, rel_l2=rel_l2)
-    flat = run_row("flat FBPINN 16x16",
-                   system, hard(FBPINN([(0, 1), (0, 1)], subdivisions=16,
+    flat = run_row(f"flat FBPINN {finest}x{finest}",
+                   system, hard(FBPINN([(0, 1), (0, 1)], subdivisions=finest,
                                        hidden=(16,))),
                    strat, iters=iters, lr=1e-3, rel_l2=rel_l2)
     mlp_row = run_row("single MLP [2,128,128,128,1]",
@@ -194,7 +204,8 @@ def part_laplace(iters):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--part", default="all", choices=["ode", "laplace", "all"])
+    ap.add_argument("--part", default="all",
+                    choices=["ode", "laplace", "laplace5", "all"])
     ap.add_argument("--iters", type=int, default=30000)
     ap.add_argument("--quick", action="store_true",
                     help="reduced budget smoke run")
@@ -205,5 +216,7 @@ if __name__ == "__main__":
         out["ode"] = part_ode(iters)
     if a.part in ("laplace", "all"):
         out["laplace"] = part_laplace(iters)
+    if a.part == "laplace5":
+        out["laplace5"] = part_laplace(iters, L=5)
     import json
     print(json.dumps(out))
