@@ -84,6 +84,28 @@ def test_fbpinn_multilevel_structure_and_parity():
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_fbpinn_multilevel_gn_residual_parity():
+    """The list-of-level-stacks parameter pytree flattens through the
+    Gauss-Newton residual machinery: ||r(theta)||^2 == full loss."""
+    from neuralpde_tpu import build_residual_vector
+
+    x = symbols("x")
+    u = DepVar("u")
+    system = PDESystem(
+        [Eq(Differential(x)(u(x)), cos(4 * PI * x))], [Eq(u(0.0), 0.0)],
+        [Domain(x, Interval(0, 1))], ivs=[x], dvs=[u(x)])
+    net = FBPINN([(0, 1)], levels=[1, 3], hidden=(6,))
+    prob = discretize(system, PhysicsInformedNN(net, GridTraining(0.05),
+                                                dtype=jnp.float64))
+    theta = prob.init_params
+    r = build_residual_vector(prob.pinnrep)(theta)
+    lstate = {"key": jax.random.key(0),
+              "adaptive": prob.pinnrep.adaloss.init_state(1, 1, jnp.float64)}
+    loss = prob.loss(theta, lstate)[0]
+    np.testing.assert_allclose(float(jnp.sum(r ** 2)), float(loss),
+                               rtol=1e-9)
+
+
 def test_fbpinn_windows_are_c2():
     """Second derivative of the blended trial function is continuous across
     a window-support edge (squared-cosine windows): FD-sample u'' on a fine
