@@ -52,7 +52,7 @@ class EnsembleResult:
     members: Any               # pytree, every leaf (n_ensemble, ...)
     losses: Any                # (n_ensemble,) final per-member loss
     iterations: int
-    history: list              # per host round-trip: (n_ensemble,) losses
+    history: list              # bounded list of (iteration, (n_ensemble,) losses)
     pinnrep: Any = None
 
     @property
@@ -137,7 +137,10 @@ def _ensemble_sharding(mesh: Mesh, tree):
 def solve_ensemble(prob, optimizer=None, maxiters: int = 1000, *,
                    n_ensemble: int = 8, key=None, inner_steps: int = 1,
                    mesh: Mesh | None = None, abstol: float | None = None,
-                   verbose: bool = False,
+                   verbose: bool = False, callback=None,
+                   checkpoint_path: str | None = None,
+                   checkpoint_every: int | None = None,
+                   history_cap: int = 1024,
                    member_init=None) -> EnsembleResult:
     """Train `n_ensemble` independent initializations of a `TrainingProblem`
     as one vmapped program (one compile, N members per step).
@@ -155,10 +158,18 @@ def solve_ensemble(prob, optimizer=None, maxiters: int = 1000, *,
       a `pinnrep` (e.g. operator families via `solve_pino_pde_ensemble`,
       which supplies the FNO init); default draws the chain init the same
       way symbolic_discretize does.
-
-    Callbacks/checkpointing are intentionally not supported here: members
-    advance in lockstep inside one program; checkpoint the winner
-    (`res.best`) with utils.checkpoint if needed.
+    * ``callback``: host function `(iteration, losses)` fired once per
+      round-trip with the (n_ensemble,) per-member losses; a truthy return
+      stops training (the `solve` callback contract, train.py:199).
+      Members advance in lockstep inside one program, so per-member
+      callbacks do not exist — the ensemble round-trip is the granularity.
+    * ``checkpoint_path`` (+ ``checkpoint_every`` iterations, default
+      10 round-trips): periodically snapshots the FULL stacked training
+      state (members + optimizer + adaptive state) and auto-resumes from it
+      on a rerun — same semantics as `solve(checkpoint_path=...)`.
+    * ``history_cap``: `res.history` holds `(iteration, losses)` pairs and
+      is decimated 2× whenever it exceeds the cap, so memory stays bounded
+      on long runs while coverage stays roughly uniform.
     """
     optimizer = optimizer or optax.adam(1e-3)
     key = key if key is not None else jax.random.key(0)
@@ -204,6 +215,18 @@ def solve_ensemble(prob, optimizer=None, maxiters: int = 1000, *,
     vround = jax.vmap(member_round)
 
     carry = (theta, opt_state, ada_state, iters)
+
+    from ..utils.checkpoint import (has_checkpoint, restore_checkpoint,
+                                    save_checkpoint)
+    it = 0
+    if has_checkpoint(checkpoint_path):
+        carry, _, it = restore_checkpoint(checkpoint_path, carry)
+        if verbose:
+            print(f"[ensemble] resumed from {checkpoint_path} at iter {it}")
+    ckpt_every = (checkpoint_every if checkpoint_every is not None
+                  else 10 * inner_steps)
+    last_ckpt = it
+
     if mesh is not None:
         carry = jax.device_put(carry, _ensemble_sharding(mesh, carry))
         member_keys = jax.device_put(
@@ -212,22 +235,29 @@ def solve_ensemble(prob, optimizer=None, maxiters: int = 1000, *,
 
     history = []
     losses = jnp.full((n_ensemble,), jnp.inf, dtype)
-    it = 0
     while it < maxiters:
         carry, losses = jit_round(carry, member_keys)
         it += inner_steps
         lnp = np.asarray(losses)
-        history.append(lnp)
+        history.append((it, lnp))
+        if len(history) > history_cap:
+            history = history[::2]
         best = float(np.nanmin(np.where(np.isfinite(lnp), lnp, np.nan)))
         if verbose:
             print(f"[ensemble] iter {it:6d}  best {best:.6g}  "
                   f"median {float(np.nanmedian(lnp)):.6g}")
-        if abstol is not None and best < abstol:
+        if checkpoint_path is not None and it - last_ckpt >= ckpt_every:
+            save_checkpoint(checkpoint_path, carry, iteration=it)
+            last_ckpt = it
+        stop = callback is not None and callback(it, lnp)
+        if stop or (abstol is not None and best < abstol):
             break
         if not np.any(np.isfinite(lnp)):
             warnings.warn(f"all {n_ensemble} ensemble members diverged at "
                           f"iteration {it}; stopping")
             break
+    if checkpoint_path is not None and it > last_ckpt:
+        save_checkpoint(checkpoint_path, carry, iteration=it)
 
     theta = carry[0]
     return EnsembleResult(members=theta, losses=losses, iterations=it,

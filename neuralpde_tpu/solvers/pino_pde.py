@@ -575,7 +575,10 @@ def solve_pino_pde_ensemble(pde_system: PDESystem, alg: PINOPDE, *,
                             n_ensemble: int = 8, maxiters: int = 1000,
                             key=None, inner_steps: int = 1, mesh=None,
                             abstol: float | None = None,
-                            verbose: bool = False) -> PINOEnsembleResult:
+                            verbose: bool = False, callback=None,
+                            checkpoint_path: str | None = None,
+                            checkpoint_every: int | None = None
+                            ) -> PINOEnsembleResult:
     """Train `n_ensemble` independent operator initializations as one
     vmapped program; member m's init and loss-key stream come from
     `fold_in(key, m)`, so member m reproduces a solo
@@ -601,7 +604,9 @@ def solve_pino_pde_ensemble(pde_system: PDESystem, alg: PINOPDE, *,
     res = solve_ensemble(prob, alg.opt or optax.adam(1e-3),
                          maxiters=maxiters, n_ensemble=n_ensemble, key=key,
                          inner_steps=inner_steps, mesh=mesh, abstol=abstol,
-                         verbose=verbose,
+                         verbose=verbose, callback=callback,
+                         checkpoint_path=checkpoint_path,
+                         checkpoint_every=checkpoint_every,
                          member_init=lambda k: {"depvar": chain.init(k)})
     jit_eval = jax.jit(jax.vmap(b.eval_fields, in_axes=(0, None, None, None)))
     return PINOEnsembleResult(members=res.members, losses=res.losses,
