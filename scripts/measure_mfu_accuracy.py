@@ -35,12 +35,20 @@ Emits one JSON line per row + a summary table.
 from __future__ import annotations
 
 import argparse
+import faulthandler
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
+
+faulthandler.register(signal.SIGUSR1)   # kill -USR1 <pid> dumps all stacks
+
+
+def _log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -74,7 +82,9 @@ def main():
                                     "examples"))
     from allen_cahn_spinn import ground_truth
 
+    _log("computing spectral ground truth")
     xg, ts, U = ground_truth()
+    _log("ground truth done")
     Xg, Tg = np.meshgrid(xg, ts, indexing="ij")
     cord = jnp.asarray(np.stack([Xg.ravel(), Tg.ravel()]), jnp.float32)
     want = jnp.asarray(U.T.reshape(-1), jnp.float32)
@@ -133,9 +143,11 @@ def main():
         # closure (compile/cache-lookup cost is NOT reliably zero on the
         # second call), so time a 1-chunk and a 3-chunk run and difference
         # them — the per-call constant cancels
+        _log(f"row w{width} b{batch}: compiling + warming stage-1 program")
         disc = make_disc(width, batch, stages[0][0])
         prob = discretize(system, disc)
         solve(prob, optax.adam(1e-3), maxiters=inner, inner_steps=inner)
+        _log("warm; calibrating step time")
         t0 = time.perf_counter()
         solve(prob, optax.adam(1e-3), maxiters=inner, inner_steps=inner)
         t_short = time.perf_counter() - t0
@@ -143,7 +155,9 @@ def main():
         solve(prob, optax.adam(1e-3), maxiters=3 * inner, inner_steps=inner)
         t_long = time.perf_counter() - t0
         dt_iter = max(t_long - t_short, 1e-9) / (2 * inner)
+        _log(f"step {dt_iter*1e6:.1f} us; running XLA cost analysis")
         fps = flops_per_step(prob)
+        _log(f"flops/step {fps}")
 
         total_iters = max(3 * inner,
                           int(args.budget / dt_iter / inner) * inner)
@@ -151,12 +165,16 @@ def main():
         theta, executed, wall = None, 0, 0.0
         for eps, lr, frac in stages:
             its = max(inner, int(total_iters * frac / inner) * inner)
+            _log(f"stage eps={eps} lr={lr}: {its} iters")
             disc = make_disc(width, batch, eps)
             prob = discretize(system, disc)
             if theta is not None:
                 prob = prob.with_params(theta)
-            # warm the stage program (untimed, same accounting for all rows)
-            solve(prob, optax.adam(lr), maxiters=1, inner_steps=1)
+            # warm the stage program untimed with the SAME scan length as the
+            # timed chunks (a shorter scan is a different program — the stage
+            # compile would otherwise land inside the timed wall); the warm
+            # run's params are discarded
+            solve(prob, optax.adam(lr), maxiters=inner, inner_steps=inner)
             t0 = time.perf_counter()
             theta = solve(prob, optax.adam(lr), maxiters=its,
                           inner_steps=inner).u
