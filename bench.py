@@ -849,6 +849,86 @@ def accuracy_suite():
     return out
 
 
+def accuracy_dense_full(iters_per_stage=(333000, 333000, 444000)):
+    """The repo-best Allen-Cahn recipe, driver-reproducible (r5): DENSE
+    causal ε-continuation at w64/batch 8192 — 1.11M iterations in ~4.5 min
+    reach rel L2 ~0.0016 (PERF.md "MFU × accuracy"; the equal-wall
+    measurement this reproduces is scripts/measure_mfu_accuracy.py's w64
+    row, re-cast with a FIXED iteration budget so the result is
+    deterministic rather than wall-dependent)."""
+    import pathlib
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    import neuralpde_tpu as npde
+    from neuralpde_tpu import (
+        CausalTraining, Chain, DepVar, Differential, Domain, Eq, Interval,
+        NonAdaptiveLoss, PDESystem, PeriodicEmbedding, PhysicsInformedNN,
+        discretize, mlp, solve, symbols,
+    )
+
+    sys.path.append(str(pathlib.Path(__file__).parent / "examples"))
+    from allen_cahn_spinn import ground_truth
+
+    xg, ts, U = ground_truth()
+    Xg, Tg = np.meshgrid(xg, ts, indexing="ij")
+    cord = jnp.asarray(np.stack([Xg.ravel(), Tg.ravel()]), jnp.float32)
+    want = jnp.asarray(U.T.reshape(-1), jnp.float32)
+
+    x, t = symbols("x t")
+    u = DepVar("u")
+    eq = Eq(Differential(t)(u(x, t)),
+            1e-4 * (Differential(x) ** 2)(u(x, t))
+            + 5.0 * (u(x, t) - u(x, t) ** 3))
+    bcs = [Eq(u(x, 0.0), x ** 2 * npde.cos(np.pi * x)),
+           Eq(u(-1.0, t), u(1.0, t)),
+           Eq(Differential(x)(u(-1.0, t)), Differential(x)(u(1.0, t)))]
+    system = PDESystem(eq, bcs,
+                       [Domain(x, Interval(-1, 1)), Domain(t, Interval(0, 1))],
+                       [x, t], [u(x, t)])
+
+    def make_prob(eps):
+        net = Chain(PeriodicEmbedding(2, axis=0, period=2.0, n_modes=10),
+                    *mlp([21, 64, 64, 64, 64, 1]).layers)
+        disc = PhysicsInformedNN(
+            net, CausalTraining(8192, t, bcs_points=1024, n_slabs=32,
+                                causal_eps=eps),
+            derivative="jet",
+            adaptive_loss=NonAdaptiveLoss(bc_loss_weights=[100.0, 1.0, 1.0]))
+        return discretize(system, disc), disc
+
+    stages = [(1.0, 1e-3), (10.0, 5e-4), (100.0, 2e-4)]
+    # warm the three stage programs outside the timed region
+    for eps, lr in stages:
+        prob, _ = make_prob(eps)
+        solve(prob, optax.adam(lr), maxiters=500, inner_steps=500)
+
+    out = {"metric": "accuracy_dense_full"}
+    theta = None
+    per_stage = []
+    t0 = time.perf_counter()
+    for (eps, lr), its in zip(stages, iters_per_stage):
+        prob, disc = make_prob(eps)
+        if theta is not None:
+            prob = prob.with_params(theta)
+        theta = solve(prob, optax.adam(lr), maxiters=its,
+                      inner_steps=500).u
+        pred = disc.phi(cord, theta["depvar"])[0]
+        rel = float(jnp.linalg.norm(pred - want) / jnp.linalg.norm(want))
+        per_stage.append([eps, round(rel, 5)])
+        print(f"[dense-full] eps={eps} iters={its} rel L2={rel:.5f} "
+              f"(t={time.perf_counter()-t0:.1f}s)", file=sys.stderr,
+              flush=True)
+    out["allen_cahn_dense_rel_l2"] = per_stage[-1][1]
+    out["allen_cahn_dense_wall_s"] = round(time.perf_counter() - t0, 1)
+    out["allen_cahn_dense_per_stage"] = per_stage
+    print(json.dumps(out), flush=True)
+    return out
+
+
 def accuracy_full():
     """Driver-invocable FULL-budget flagship accuracy (VERDICT r4 item 8):
     the real recipes behind the PERF.md headline claims, same JSON
@@ -856,6 +936,8 @@ def accuracy_full():
 
     * Allen-Cahn separable+causal+highest, 4x75k eps continuation
       (100 -> 1e3 -> 1e4 -> 1e5)               PERF band ~0.0032
+    * Allen-Cahn DENSE causal, 1.11M iters @ batch 8192 (repo best, r5)
+      eps 1 -> 10 -> 100                       PERF band ~0.0016
     * (3+1)-D Beltrami Navier-Stokes, 65^4 grid, rank 64,
       3x20k eps continuation (1 -> 10 -> 30)   PERF band ~0.0063
     """
@@ -875,6 +957,10 @@ def accuracy_full():
     print(json.dumps(out), flush=True)   # partial line early: the Beltrami
     # run is ~50 min — if the tunnel dies mid-way the driver still gets
     # the Allen-Cahn fields from this first line
+    dn = accuracy_dense_full()
+    out["allen_cahn_dense_rel_l2"] = dn["allen_cahn_dense_rel_l2"]
+    out["allen_cahn_dense_wall_s"] = dn["allen_cahn_dense_wall_s"]
+    print(json.dumps(out), flush=True)
     bl = beltrami_spinn.run()
     out["beltrami_full_rel_l2"] = round(bl["rel_l2"], 5)
     out["beltrami_full_wall_s"] = bl["wall_s"]
@@ -997,6 +1083,14 @@ if __name__ == "__main__":
                           "/tmp/neuralpde_tpu_jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         accuracy_full()
+    elif "--accuracy-dense" in sys.argv:
+        # repo-best dense Allen-Cahn recipe alone (~6 min; r5)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/neuralpde_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        accuracy_dense_full()
     elif "--accuracy" in sys.argv:
         # standalone on-chip accuracy suite (the default run includes it)
         import jax
