@@ -545,10 +545,11 @@ def refine_weak(prob, theta, *, frac: float = 0.3, parts: int = 2,
     * ``"p"`` — raise the flagged element's test-function count by
       ``p_inc`` (up to ``p_max``; elements already at the cap h-split);
     * ``"hp"`` — decide per element from the projection's spectral decay:
-      the residual energy fraction in the top quarter of the element's
+      the residual energy fraction in the top HALF of the element's
       active modes above ``smooth_tol`` marks a non-smooth element
       (slowly decaying projection tail) → h-split; a small tail means the
-      residual is resolved-but-nonzero on a smooth solution → p-refine.
+      residual is resolved-but-nonzero on a smooth solution → p-refine
+      (see `_hp_action` for why the half, not a thinner tail).
 
     Returns a NEW `WeakTraining` with per-axis refined edges / per-element
     test counts and every other setting inherited — re-discretize and
@@ -615,6 +616,7 @@ def refine_weak(prob, theta, *, frac: float = 0.3, parts: int = 2,
         d.variables.name: strategy._per_axis(strategy.n_test,
                                              d.variables.name, 8)
         for d in pinnrep.domains}
+    orig_ntest = dict(new_ntest)
     for name, sc in scores.items():
         edges = edges_of[name]
         n_el = sc.shape[0]
@@ -655,19 +657,26 @@ def refine_weak(prob, theta, *, frac: float = 0.3, parts: int = 2,
     # setting; under-integrated top modes are projection noise that training
     # then chases (measured: a 20 s equal-wall front A/B regressed 0.08 ->
     # 0.39 rel L2 before this bump).  Raise quad to the auto-resolve floor
-    # per axis; quad=None keeps auto-resolving on its own.
+    # ONLY for axes whose max test count actually grew — pure h-refinement
+    # must preserve a deliberate explicit (even under-integrating) quad
+    # setting.  quad=None keeps auto-resolving on its own.
     new_quad = strategy.quad
     if new_quad is not None:
+        def _max_k(tree, name):
+            return int(np.max(np.asarray(tree.get(name, 8))))
+
         def floor_of(name):
-            k = new_ntest.get(name, 8)
-            return int(np.max(np.asarray(k))) + strategy.ibp + 3
+            return _max_k(new_ntest, name) + strategy.ibp + 3
+
+        def grew(name):
+            return _max_k(new_ntest, name) > _max_k(orig_ntest, name)
 
         if isinstance(new_quad, dict):
-            new_quad = {n: max(int(q), floor_of(n))
+            new_quad = {n: (max(int(q), floor_of(n)) if grew(n) else int(q))
                         for n, q in new_quad.items()}
-        else:
+        elif any(grew(n) for n in new_ntest):
             new_quad = max(int(new_quad),
-                           max(floor_of(n) for n in new_ntest))
+                           max(floor_of(n) for n in new_ntest if grew(n)))
 
     return WeakTraining(elements=new_elements, n_test=new_ntest,
                         quad=new_quad, ibp=strategy.ibp,

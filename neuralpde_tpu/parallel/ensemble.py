@@ -218,9 +218,15 @@ def solve_ensemble(prob, optimizer=None, maxiters: int = 1000, *,
 
     from ..utils.checkpoint import (has_checkpoint, restore_checkpoint,
                                     save_checkpoint)
+    # losses are checkpointed WITH the carry: a rerun that restores an
+    # already-finished run (it >= maxiters) must still return the trained
+    # per-member losses, not the inf initializer (best/best_index would
+    # otherwise crash on an all-NaN argmin)
     it = 0
+    losses = jnp.full((n_ensemble,), jnp.inf, dtype)
     if has_checkpoint(checkpoint_path):
-        carry, _, it = restore_checkpoint(checkpoint_path, carry)
+        (carry, losses), _, it = restore_checkpoint(checkpoint_path,
+                                                    (carry, losses))
         if verbose:
             print(f"[ensemble] resumed from {checkpoint_path} at iter {it}")
     ckpt_every = (checkpoint_every if checkpoint_every is not None
@@ -234,7 +240,6 @@ def solve_ensemble(prob, optimizer=None, maxiters: int = 1000, *,
     jit_round = jax.jit(vround)
 
     history = []
-    losses = jnp.full((n_ensemble,), jnp.inf, dtype)
     while it < maxiters:
         carry, losses = jit_round(carry, member_keys)
         it += inner_steps
@@ -247,7 +252,7 @@ def solve_ensemble(prob, optimizer=None, maxiters: int = 1000, *,
             print(f"[ensemble] iter {it:6d}  best {best:.6g}  "
                   f"median {float(np.nanmedian(lnp)):.6g}")
         if checkpoint_path is not None and it - last_ckpt >= ckpt_every:
-            save_checkpoint(checkpoint_path, carry, iteration=it)
+            save_checkpoint(checkpoint_path, (carry, losses), iteration=it)
             last_ckpt = it
         stop = callback is not None and callback(it, lnp)
         if stop or (abstol is not None and best < abstol):
@@ -257,7 +262,7 @@ def solve_ensemble(prob, optimizer=None, maxiters: int = 1000, *,
                           f"iteration {it}; stopping")
             break
     if checkpoint_path is not None and it > last_ckpt:
-        save_checkpoint(checkpoint_path, carry, iteration=it)
+        save_checkpoint(checkpoint_path, (carry, losses), iteration=it)
 
     theta = carry[0]
     return EnsembleResult(members=theta, losses=losses, iterations=it,

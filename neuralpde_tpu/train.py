@@ -128,8 +128,9 @@ def solve(prob, optimizer=None, maxiters: int = 1000, *,
     re-refined against the trained params — delivering the reference's
     tolerances-on-the-returned-solution semantics
     (src/training_strategies.jl:406-436) at re-solve boundaries.
-    Checkpointing is not threaded through the re-solves (their iteration
-    budgets are separate)."""
+    The user callback IS threaded through the re-solves (it keeps firing,
+    and can stop each re-solve); checkpointing and profiling are not (the
+    re-solves' iteration budgets are separate)."""
 
     optimizer = optimizer or optax.adam(1e-3)
     key = key if key is not None else jax.random.key(0)
@@ -235,12 +236,13 @@ def solve(prob, optimizer=None, maxiters: int = 1000, *,
             result = _quad_adapt_resolve(
                 result, prob, strategy, optimizer, maxiters,
                 rounds=quad_adapt_rounds, abstol=abstol, key=key,
-                inner_steps=inner_steps, verbose=verbose)
+                inner_steps=inner_steps, verbose=verbose, callback=callback)
     return result
 
 
 def _quad_adapt_resolve(result, prob, strategy, optimizer, maxiters, *,
-                        rounds, abstol, key, inner_steps, verbose):
+                        rounds, abstol, key, inner_steps, verbose,
+                        callback=None):
     """The quadrature-adaptivity loop body: while the trained solution
     outruns the frozen rule, rebuild every equation's rule against the
     trained params (`rebuild_strategy_losses`) and warm-start a re-solve."""
@@ -264,7 +266,8 @@ def _quad_adapt_resolve(result, prob, strategy, optimizer, maxiters, *,
         strategy._trained_checks = []
         try:
             res2 = solve(prob, optimizer, maxiters=maxiters, abstol=abstol,
-                         key=key, inner_steps=inner_steps, verbose=verbose)
+                         key=key, inner_steps=inner_steps, verbose=verbose,
+                         callback=callback)
         finally:
             strategy._trained_checks = checks
         result = SolveResult(u=res2.u, objective=res2.objective,

@@ -270,3 +270,24 @@ def test_ensemble_callback_checkpoint_history(tmp_path):
     assert len(r.history) <= 4 + 1
     its = [it for it, _ in r.history]
     assert its == sorted(its) and its[-1] == 160
+
+
+def test_ensemble_resume_of_finished_run_keeps_losses(tmp_path):
+    """Re-running a checkpointed ensemble that already reached maxiters must
+    return the trained per-member losses (and a working .best), not the inf
+    initializer (r5 review finding)."""
+    prob = _poisson_prob()
+    ck = str(tmp_path / "ck")
+    r1 = solve_ensemble(prob, optax.adam(1e-2), maxiters=40, n_ensemble=2,
+                        inner_steps=20, key=jax.random.key(5),
+                        checkpoint_path=ck, checkpoint_every=20)
+    r2 = solve_ensemble(prob, optax.adam(1e-2), maxiters=40, n_ensemble=2,
+                        inner_steps=20, key=jax.random.key(5),
+                        checkpoint_path=ck)
+    assert r2.iterations == 40
+    np.testing.assert_allclose(np.asarray(r2.losses), np.asarray(r1.losses),
+                               rtol=1e-7)
+    assert r2.best_index == r1.best_index       # no all-NaN argmin crash
+    a = np.concatenate([np.ravel(x) for x in jax.tree.leaves(r2.members)])
+    b = np.concatenate([np.ravel(x) for x in jax.tree.leaves(r1.members)])
+    np.testing.assert_allclose(a, b, rtol=1e-7)

@@ -637,3 +637,21 @@ def test_solve_weak_adaptive_validates_args():
         solve_weak_adaptive(system, disc_w, rounds=0)
     with pytest.raises(ValueError, match="entries"):
         solve_weak_adaptive(system, disc_w, rounds=2, maxiters=[100])
+
+
+def test_refine_weak_h_mode_preserves_explicit_quad():
+    """mode='h' (no test-count growth) must keep a deliberate explicit quad
+    setting; mode='p' growth past the resolve floor must still bump it
+    (r5 review finding: the bump used to apply unconditionally)."""
+    from neuralpde_tpu import refine_weak
+
+    system = _poisson_1d()
+    disc = PhysicsInformedNN(mlp([1, 16, 1]),
+                             WeakTraining(elements=4, n_test=5, ibp=1,
+                                          quad=6))
+    prob = discretize(system, disc)
+    res = solve(prob, optax.adam(2e-3), maxiters=200, inner_steps=50)
+    s_h = refine_weak(prob, res.u, frac=0.5, mode="h")
+    assert s_h.quad == 6, s_h.quad          # h-split: counts unchanged
+    s_p = refine_weak(prob, res.u, frac=0.5, mode="p", p_inc=3)
+    assert s_p.quad == 8 + 1 + 3, s_p.quad  # max K grew 5->8: floor bump
