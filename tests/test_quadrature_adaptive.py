@@ -309,14 +309,19 @@ def test_quad_adapt_loop_fixes_aliased_solution():
     assert rel1 > 0.5, rel1                        # ... and the solution is wrong
 
     strat2, prob2 = make()
+    fired = []
     res2 = solve(prob2, optax.adam(1e-3), maxiters=3000, inner_steps=50,
-                 quad_adapt=True, quad_adapt_rounds=2)
+                 quad_adapt=True, quad_adapt_rounds=2,
+                 callback=lambda it, loss, aux: fired.append(it) and False)
     rep2 = strat2.validate_trained(res2.u, warn=False)
     assert all(r["ok"] for r in rep2)              # recheck now passes
     assert rep2[0]["panels"] > rep1[0]["panels"]   # the rule was re-refined
     rel2 = rel(prob2, res2.u)
     assert rel2 < 0.5 * rel1, (rel2, rel1)         # ... and the loop fixed it
     assert res2.iterations == 6000                 # one warm-started re-solve
+    # the user callback is threaded through the re-solve (r5 review fix):
+    # it fired every inner_steps chunk of BOTH solves
+    assert len(fired) == 120, len(fired)
 
 
 def test_quad_adapt_noop_when_rule_holds():
